@@ -1,0 +1,356 @@
+"""ORB feature extraction as batched JAX ops (TPU-native ORBextractor).
+
+Covers the full behavior of the reference's ORBextractor
+(/root/reference/src/ORBextractor.cc): 8-level pyramid, per-cell FAST with
+dual thresholds (ComputeKeyPointsOctTree :915), spatially-uniform selection
+(DistributeOctTree :644), intensity-centroid orientation (IC_Angle :84),
+Gaussian blur + steered 256-bit BRIEF (computeOrbDescriptor :141), packed
+descriptors, coordinates rescaled to level 0 (:1322).
+
+TPU-first redesign decisions (documented deviations):
+
+- FAST runs densely over the whole level with the LOW threshold once; the
+  per-pixel response is OpenCV's FAST score (the max threshold at which the
+  pixel stays a corner), so the reference's 20 -> 7 per-cell fallback
+  (ORBextractor.cc:976-987) is reproduced exactly by masking: a cell keeps
+  its response >= iniTh corners if it has any, else its response >= minTh
+  corners — without running FAST twice.
+- The sequential quadtree (DistributeOctTree) is replaced by per-cell rank
+  ordering: candidates are ranked inside their 30px cell by response, then
+  selected globally by (rank-in-cell, -response) up to the per-level budget.
+  Like the quadtree this takes the single best corner from every occupied
+  region first, then second-best, etc. — same spatial-uniformity intent,
+  fully parallel.
+- The descriptor sampling pattern is our own deterministic BRIEF-style
+  pattern (seeded Gaussian, sigma = patch/5, clipped to the 31px patch) —
+  NOT the reference's learned bit_pattern_31_. Descriptors are therefore not
+  bit-compatible with OpenCV ORB; the whole pipeline (matching, vocabulary)
+  uses this pattern consistently.
+
+All outputs are fixed-capacity arrays + validity masks; everything is
+jit-safe with static shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuslam.ops.image import build_pyramid, gaussian_blur, pyramid_shapes
+
+# FAST-9/16 Bresenham circle of radius 3, clockwise from 12 o'clock:
+# (dx, dy) pixel offsets.
+_FAST_OFFSETS = np.array(
+    [
+        (0, -3), (1, -3), (2, -2), (3, -1),
+        (3, 0), (3, 1), (2, 2), (1, 3),
+        (0, 3), (-1, 3), (-2, 2), (-3, 1),
+        (-3, 0), (-3, -1), (-2, -2), (-1, -3),
+    ],
+    dtype=np.int32,
+)
+
+# Border in which no keypoint may lie: EDGE_THRESHOLD - 3 = 16 in the
+# reference (ORBextractor.cc minBorderX), which is what the quadtree cells
+# cover; descriptor/orientation gathers clamp at image bounds.
+_DETECT_BORDER = 16
+HALF_PATCH = 15  # orientation patch radius (IC_Angle, ORBextractor.cc:84)
+_N_PAIRS = 256
+
+
+def _make_brief_pattern(seed: int = 1234) -> np.ndarray:
+    """Deterministic BRIEF-II style pattern: (256, 2, 2) int32 (pair, point, xy).
+
+    Points drawn iid from N(0, (patch/5)^2) clipped to [-13, 13] like the
+    original BRIEF construction; the reference instead ships a learned
+    pattern (ORBextractor.cc:196-464), which we deliberately do not copy.
+    Degenerate pairs (identical points) are resampled deterministically.
+    """
+    rng = np.random.default_rng(seed)
+    sigma = 31.0 / 5.0
+    pts = np.clip(np.round(rng.normal(0.0, sigma, size=(_N_PAIRS * 2, 2))), -13, 13).astype(
+        np.int32
+    )
+    pattern = pts.reshape(_N_PAIRS, 2, 2)
+    # Resample degenerate pairs.
+    for i in range(_N_PAIRS):
+        tries = 0
+        while np.all(pattern[i, 0] == pattern[i, 1]) and tries < 100:
+            pattern[i, 1] = np.clip(np.round(rng.normal(0.0, sigma, size=2)), -13, 13).astype(
+                np.int32
+            )
+            tries += 1
+    return pattern
+
+
+BRIEF_PATTERN = _make_brief_pattern()
+
+
+@dataclasses.dataclass(frozen=True)
+class ORBConfig:
+    """Extraction settings, mirroring the ORBextractor.* YAML block
+    (/root/reference/Examples/Monocular/TUM1.yaml:27-42)."""
+
+    n_features: int = 1000
+    scale_factor: float = 1.2
+    n_levels: int = 8
+    ini_th_fast: float = 20.0
+    min_th_fast: float = 7.0
+    cell_size: int = 30  # FAST cell width (ORBextractor.cc:930 W=30)
+
+    def level_budgets(self) -> tuple:
+        """Geometric per-level feature budget, ORBextractor ctor semantics
+        (/root/reference/src/ORBextractor.cc:494-510)."""
+        factor = 1.0 / self.scale_factor
+        n_desired = self.n_features * (1 - factor) / (1 - factor**self.n_levels)
+        budgets = []
+        total = 0
+        for _ in range(self.n_levels - 1):
+            b = int(round(n_desired))
+            budgets.append(b)
+            total += b
+            n_desired *= factor
+        budgets.append(max(self.n_features - total, 0))
+        return tuple(budgets)
+
+    def level_scales(self) -> tuple:
+        return tuple(self.scale_factor**l for l in range(self.n_levels))
+
+
+from typing import NamedTuple
+
+
+class ORBFeatures(NamedTuple):
+    """Fixed-capacity [N] keypoint arrays (N = config.n_features).
+
+    xy is in level-0 (full-resolution, distorted-image) pixel coordinates,
+    like the reference's rescaled keypoints (ORBextractor.cc:1322-1329).
+    """
+
+    xy: jnp.ndarray        # (N, 2) float32, level-0 coords
+    response: jnp.ndarray  # (N,) float32 FAST score
+    angle: jnp.ndarray     # (N,) float32 radians
+    level: jnp.ndarray     # (N,) int32 pyramid octave
+    desc: jnp.ndarray      # (N, 8) uint32 packed 256-bit descriptor
+    valid: jnp.ndarray     # (N,) bool
+
+    @property
+    def n_valid(self):
+        return jnp.sum(self.valid.astype(jnp.int32))
+
+
+def fast_response(img: jnp.ndarray, min_th: float) -> jnp.ndarray:
+    """Dense FAST-9/16 corner response for a (H, W) float image.
+
+    Response is OpenCV's FAST score: the largest threshold at which the pixel
+    still has >= 9 contiguous circle pixels all brighter (or all darker) than
+    center +- threshold. Pixels failing at min_th get response 0. 3x3
+    non-max suppression is applied by the caller.
+    """
+    H, W = img.shape
+    p = jnp.pad(img, 3, mode="edge")
+    # (16, H, W) circle intensities.
+    circ = jnp.stack(
+        [p[3 + dy : 3 + dy + H, 3 + dx : 3 + dx + W] for dx, dy in _FAST_OFFSETS], axis=0
+    )
+    d = circ - img[None]  # positive = brighter than center
+
+    def arc9_min(x):
+        """min over 9 consecutive circular entries, for each start index."""
+        m1 = jnp.minimum(x, jnp.roll(x, -1, axis=0))
+        m2 = jnp.minimum(m1, jnp.roll(m1, -2, axis=0))
+        m4 = jnp.minimum(m2, jnp.roll(m2, -4, axis=0))  # covers 8
+        return jnp.minimum(m4, jnp.roll(x, -8, axis=0))  # covers 9
+
+    score_bright = jnp.max(arc9_min(d), axis=0)
+    score_dark = jnp.max(arc9_min(-d), axis=0)
+    score = jnp.maximum(score_bright, score_dark)
+    return jnp.where(score > min_th, score, 0.0)
+
+
+def _nms3(score: jnp.ndarray) -> jnp.ndarray:
+    """3x3 non-max suppression: keep strict local maxima (row/col-major
+    tie-break via tiny index bias to avoid dropping/duplicating plateaus)."""
+    H, W = score.shape
+    # Deterministic tie-break: prefer smaller linear index.
+    bias = (
+        jnp.arange(H * W, dtype=jnp.float32).reshape(H, W) * (-1e-6 / (H * W))
+    )
+    s = score + jnp.where(score > 0, bias, 0.0)
+    pooled = jax.lax.reduce_window(
+        s, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
+    )
+    return jnp.where((s >= pooled) & (score > 0), score, 0.0)
+
+
+def _select_level_keypoints(
+    score: jnp.ndarray,
+    n_keep: int,
+    n_cand: int,
+    cell_size: int,
+    ini_th: float,
+) -> tuple:
+    """Spatially-uniform top-n_keep selection from a response map.
+
+    Replaces DistributeOctTree (/root/reference/src/ORBextractor.cc:644):
+    candidates are the n_cand highest responses; each is ranked within its
+    cell; final order is (rank-in-cell asc, response desc). Cells where the
+    best response >= ini_th contribute only >= ini_th corners (the
+    reference's dual-threshold fallback at :976-987).
+
+    Returns (xy (n_keep, 2) int32, resp (n_keep,), valid (n_keep,)).
+    """
+    H, W = score.shape
+    flat = score.reshape(-1)
+    resp, idx = jax.lax.top_k(flat, n_cand)
+    ys = idx // W
+    xs = idx % W
+    valid = resp > 0.0
+    # Detection border (quadtree region in the reference).
+    valid &= (
+        (xs >= _DETECT_BORDER)
+        & (xs < W - _DETECT_BORDER)
+        & (ys >= _DETECT_BORDER)
+        & (ys < H - _DETECT_BORDER)
+    )
+
+    n_cells_x = (W + cell_size - 1) // cell_size
+    cell = (ys // cell_size) * n_cells_x + (xs // cell_size)
+    cell = jnp.where(valid, cell, jnp.iinfo(jnp.int32).max)
+
+    # Sort by (cell asc, response desc):
+    key = cell.astype(jnp.float32) * 4096.0 - jnp.clip(resp, 0, 4095.0)
+    order = jnp.argsort(key)
+    cell_s = cell[order]
+    resp_s = resp[order]
+    valid_s = valid[order]
+    pos = jnp.arange(n_cand)
+    is_start = jnp.concatenate([jnp.array([True]), cell_s[1:] != cell_s[:-1]])
+    start_idx = jax.lax.associative_scan(jnp.maximum, jnp.where(is_start, pos, -1))
+    rank = pos - start_idx
+    # Entries are sorted desc within each cell, so the rank-0 entry IS the
+    # cell max; gather it via each entry's cell-start index.
+    cell_max = resp_s[start_idx]
+    # Apply dual threshold: if the cell has an >= ini_th corner, drop its
+    # sub-ini_th corners.
+    valid_s &= ~((cell_max >= ini_th) & (resp_s < ini_th))
+
+    # Final priority: one corner per cell first, then second-best, etc.
+    prio = rank.astype(jnp.float32) * 4096.0 - jnp.clip(resp_s, 0, 4095.0)
+    prio = jnp.where(valid_s, prio, jnp.inf)
+    final = jnp.argsort(prio)[:n_keep]
+    sel = order[final]
+    out_valid = valid_s[final] & (jnp.arange(n_keep) < n_cand)
+    return (
+        jnp.stack([xs[sel], ys[sel]], axis=-1).astype(jnp.int32),
+        resp[sel],
+        out_valid,
+    )
+
+
+def _ic_angle(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
+    """Intensity-centroid orientation (IC_Angle, ORBextractor.cc:84-128).
+
+    img: (H, W); xy: (N, 2) int32 keypoint coords in this level.
+    Returns angles in radians. Uses the same circular patch of radius 15
+    (umax table) expressed as a precomputed mask.
+    """
+    H, W = img.shape
+    r = HALF_PATCH
+    dy, dx = np.mgrid[-r : r + 1, -r : r + 1]
+    # Circular mask identical to the reference's umax construction: include
+    # |(dx, dy)| <= 15 using the same rounding (umax = round(sqrt(r^2-v^2))).
+    umax = np.round(np.sqrt(np.maximum(r * r - dy * dy, 0.0)))
+    mask = (np.abs(dx) <= umax).astype(np.float32)
+    dxm = jnp.asarray((dx * mask).astype(np.float32))
+    dym = jnp.asarray((dy * mask).astype(np.float32))
+    maskj = jnp.asarray(mask)
+
+    ys = jnp.clip(xy[:, 1, None, None] + dy[None], 0, H - 1)
+    xs = jnp.clip(xy[:, 0, None, None] + dx[None], 0, W - 1)
+    patches = img[ys, xs]  # (N, 31, 31)
+    m10 = jnp.sum(patches * dxm[None], axis=(1, 2))
+    m01 = jnp.sum(patches * dym[None], axis=(1, 2))
+    return jnp.arctan2(m01, m10)
+
+
+def _brief_descriptors(
+    blurred: jnp.ndarray, xy: jnp.ndarray, angle: jnp.ndarray
+) -> jnp.ndarray:
+    """Steered BRIEF (computeOrbDescriptor, ORBextractor.cc:141-192).
+
+    blurred: (H, W) Gaussian-blurred level image; xy: (N, 2) int32; angle:
+    (N,) radians. Returns (N, 8) uint32 packed descriptors: bit j of word w
+    is comparison I(p0) < I(p1) for pair 32w + j. Pattern points are rotated
+    by the keypoint angle and sampled nearest-neighbor (cvRound in the
+    reference).
+    """
+    H, W = blurred.shape
+    pat = jnp.asarray(BRIEF_PATTERN, dtype=jnp.float32)  # (256, 2, 2)
+    ca, sa = jnp.cos(angle), jnp.sin(angle)  # (N,)
+    px = pat[None, :, :, 0]  # (1, 256, 2)
+    py = pat[None, :, :, 1]
+    # Rotated offsets, same formula as the reference's GET_VALUE:
+    # col = round(px cos - py sin), row = round(px sin + py cos).
+    cols = jnp.round(px * ca[:, None, None] - py * sa[:, None, None]).astype(jnp.int32)
+    rows = jnp.round(px * sa[:, None, None] + py * ca[:, None, None]).astype(jnp.int32)
+    ys = jnp.clip(xy[:, 1, None, None] + rows, 0, H - 1)
+    xs = jnp.clip(xy[:, 0, None, None] + cols, 0, W - 1)
+    vals = blurred[ys, xs]  # (N, 256, 2)
+    bits = (vals[:, :, 0] < vals[:, :, 1]).astype(jnp.uint32)  # (N, 256)
+    bits = bits.reshape(-1, 8, 32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
+    return jnp.sum(bits << shifts, axis=-1, dtype=jnp.uint32)  # (N, 8)
+
+
+def extract_orb(img: jnp.ndarray, config: ORBConfig) -> ORBFeatures:
+    """Full ORB extraction for one grayscale image (H, W) float32 in [0, 255].
+
+    Equivalent of ORBextractor::operator()
+    (/root/reference/src/ORBextractor.cc:1248): pyramid, per-level FAST +
+    uniform selection + orientation, blur + descriptors, rescale to level 0.
+    Output arrays have capacity config.n_features with a validity mask.
+    """
+    levels = build_pyramid(img, config.n_levels, config.scale_factor)
+    budgets = config.level_budgets()
+    scales = config.level_scales()
+
+    parts = []
+    for l, (lvl_img, n_l) in enumerate(zip(levels, budgets)):
+        if n_l <= 0:
+            continue
+        score = _nms3(fast_response(lvl_img, config.min_th_fast))
+        n_cand = min(
+            max(4 * n_l, 256), score.shape[0] * score.shape[1]
+        )
+        xy, resp, valid = _select_level_keypoints(
+            score, n_l, n_cand, config.cell_size, config.ini_th_fast
+        )
+        angle = _ic_angle(lvl_img, xy)
+        blurred = gaussian_blur(lvl_img, 7, 2.0)
+        desc = _brief_descriptors(blurred, xy, angle)
+        xy0 = xy.astype(jnp.float32) * scales[l]
+        parts.append(
+            ORBFeatures(
+                xy=xy0,
+                response=resp,
+                angle=angle,
+                level=jnp.full((n_l,), l, dtype=jnp.int32),
+                desc=desc,
+                valid=valid,
+            )
+        )
+
+    return ORBFeatures(
+        xy=jnp.concatenate([p.xy for p in parts], axis=0),
+        response=jnp.concatenate([p.response for p in parts], axis=0),
+        angle=jnp.concatenate([p.angle for p in parts], axis=0),
+        level=jnp.concatenate([p.level for p in parts], axis=0),
+        desc=jnp.concatenate([p.desc for p in parts], axis=0),
+        valid=jnp.concatenate([p.valid for p in parts], axis=0),
+    )
