@@ -1,0 +1,271 @@
+"""Bundle adjustment: batched LM with matrix-free Schur-complement PCG.
+
+TPU-native replacement for the reference's g2o BA
+(Optimizer::BundleAdjustment /root/reference/src/Optimizer.cc:49,
+Optimizer::LocalBundleAdjustment :453) and its BlockSolver Schur
+marginalization (/root/reference/Thirdparty/g2o/g2o/core/block_solver.hpp).
+g2o eliminates the point blocks and solves the reduced camera system with
+sparse Cholesky; a CSparse-style factorization does not map to TPU compute
+units, so we solve the same reduced system with preconditioned conjugate
+gradients instead, applying S = Hpp - Hpl Hll^-1 Hlp matrix-free:
+
+    S v = Hpp_blocks v - scatter_kf( W_e @ Hll^-1_{pt_e} @ gather_pt(W_e^T v) )
+
+— every term is a batched small matmul or a segment reduction, which XLA
+maps to the MXU/VPU. The block-Jacobi preconditioner uses the 6x6 pose
+blocks. This is the ITERATIVE_SCHUR strategy of Ceres, chosen here because
+it is the TPU-native formulation, with identical stationary points to the
+reference's exact solve.
+
+Problems are fixed-capacity SoA arrays; fixed/invalid poses and points are
+handled by masking their Jacobians and pinning their blocks to identity.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tpuslam.geometry.camera import PinholeCamera
+from tpuslam.geometry.se3 import hat, se3_exp, se3_compose
+from tpuslam.optim.robust import CHI2_MONO, CHI2_STEREO
+
+
+class BAProblem(NamedTuple):
+    """Fixed-capacity bundle adjustment problem.
+
+    Edge e observes point pt[e] from keyframe kf[e] at pixel uvr[e]
+    (u, v, u_right; u_right < 0 => mono edge). fixed_* entries contribute
+    residuals but are not updated (gauge / boundary keyframes, like the
+    fixed KF set of Optimizer.cc:455-504).
+    """
+
+    R: jnp.ndarray          # (K, 3, 3) world->camera rotations
+    t: jnp.ndarray          # (K, 3)
+    X: jnp.ndarray          # (P, 3) world points
+    kf: jnp.ndarray         # (E,) int32
+    pt: jnp.ndarray         # (E,) int32
+    uvr: jnp.ndarray        # (E, 3)
+    inv_sigma2: jnp.ndarray # (E,)
+    valid: jnp.ndarray      # (E,) bool
+    fixed_kf: jnp.ndarray   # (K,) bool
+    fixed_pt: jnp.ndarray   # (P,) bool
+
+
+def _edge_terms(cam: PinholeCamera, R, t, X, prob: BAProblem):
+    """Residual (E, 3), J_pose (E, 3, 6), J_pt (E, 3, 3), stereo mask."""
+    Rk = R[prob.kf]
+    tk = t[prob.kf]
+    Xe = X[prob.pt]
+    p = (Rk @ Xe[..., None])[..., 0] + tk
+    x, y, z = p[:, 0], p[:, 1], p[:, 2]
+    z_safe = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+    inv_z = 1.0 / z_safe
+    inv_z2 = inv_z * inv_z
+
+    u = cam.fx * x * inv_z + cam.cx
+    v = cam.fy * y * inv_z + cam.cy
+    ur = u - cam.bf * inv_z
+    stereo = prob.uvr[:, 2] >= 0.0
+
+    r = jnp.stack(
+        [
+            prob.uvr[:, 0] - u,
+            prob.uvr[:, 1] - v,
+            jnp.where(stereo, prob.uvr[:, 2] - ur, 0.0),
+        ],
+        axis=-1,
+    )
+
+    zeros = jnp.zeros_like(x)
+    du_dp = jnp.stack([cam.fx * inv_z, zeros, -cam.fx * x * inv_z2], axis=-1)
+    dv_dp = jnp.stack([zeros, cam.fy * inv_z, -cam.fy * y * inv_z2], axis=-1)
+    dur_dp = du_dp + jnp.stack([zeros, zeros, cam.bf * inv_z2], axis=-1)
+    dproj_dp = jnp.stack([du_dp, dv_dp, dur_dp], axis=-2)  # (E, 3, 3)
+    dproj_dp = jnp.where(stereo[:, None, None], dproj_dp, dproj_dp.at[:, 2, :].set(0.0))
+
+    dp_dxi = jnp.concatenate(
+        [-hat(p), jnp.broadcast_to(jnp.eye(3), p.shape[:-1] + (3, 3))], axis=-1
+    )
+    J_pose = -(dproj_dp @ dp_dxi)          # (E, 3, 6)
+    J_pt = -(dproj_dp @ Rk)                # (E, 3, 3): dp/dX = R
+    return r, J_pose, J_pt, stereo
+
+
+def _batched_inv3(A: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+    """Batched 3x3 inverse via adjugate (faster than linalg.inv on TPU)."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    co00 = e * i - f * h
+    co01 = c * h - b * i
+    co02 = b * f - c * e
+    co10 = f * g - d * i
+    co11 = a * i - c * g
+    co12 = c * d - a * f
+    co20 = d * h - e * g
+    co21 = b * g - a * h
+    co22 = a * e - b * d
+    det = a * co00 + b * co10 + c * co20
+    det = jnp.where(jnp.abs(det) < eps, eps, det)
+    adj = jnp.stack(
+        [
+            jnp.stack([co00, co01, co02], axis=-1),
+            jnp.stack([co10, co11, co12], axis=-1),
+            jnp.stack([co20, co21, co22], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj / det[..., None, None]
+
+
+def bundle_adjustment(
+    cam: PinholeCamera,
+    prob: BAProblem,
+    iters: int = 10,
+    use_huber: bool = True,
+    cg_iters: int = 40,
+    lam0: float = 1e-4,
+):
+    """Run `iters` LM steps. Returns (R, t, X, edge_chi2).
+
+    The caller implements the reference's two-phase schedule (5 iterations,
+    prune chi2 outliers, 10 more — Optimizer.cc:659-757) by calling this
+    twice with a tightened `valid` mask; chi2 per edge is returned for that.
+    """
+    K = prob.R.shape[0]
+    P = prob.X.shape[0]
+    E = prob.kf.shape[0]
+    stereo_mask = prob.uvr[:, 2] >= 0.0
+    delta_sq = jnp.where(stereo_mask, CHI2_STEREO, CHI2_MONO)
+    info = prob.inv_sigma2
+    eye6 = jnp.eye(6)
+    eye3 = jnp.eye(3)
+
+    def edge_chi2(R, t, X):
+        r, _, _, _ = _edge_terms(cam, R, t, X, prob)
+        return jnp.sum(r * r, axis=-1) * info
+
+    def robust_total(R, t, X, active):
+        c = edge_chi2(R, t, X)
+        if use_huber:
+            rho = jnp.where(
+                c > delta_sq,
+                2.0 * jnp.sqrt(delta_sq * jnp.maximum(c, 1e-12)) - delta_sq,
+                c,
+            )
+        else:
+            rho = c
+        return jnp.sum(rho * active)
+
+    active0 = prob.valid.astype(jnp.float32)
+
+    def step(carry, _):
+        R, t, X, lam = carry
+        r, Jp, Jl, _ = _edge_terms(cam, R, t, X, prob)
+        chi2 = jnp.sum(r * r, axis=-1) * info
+        if use_huber:
+            w = jnp.minimum(1.0, jnp.sqrt(delta_sq / jnp.maximum(chi2, 1e-12)))
+        else:
+            w = jnp.ones_like(chi2)
+        w = w * info * active0
+        # Mask fixed blocks by zeroing their Jacobians.
+        Jp = jnp.where(prob.fixed_kf[prob.kf][:, None, None], 0.0, Jp)
+        Jl = jnp.where(prob.fixed_pt[prob.pt][:, None, None], 0.0, Jl)
+
+        wJp = w[:, None, None] * Jp
+        # Per-edge blocks.
+        Hpp_e = jnp.einsum("eij,eik->ejk", wJp, Jp)       # (E, 6, 6)
+        Hll_e = jnp.einsum("eij,eik->ejk", w[:, None, None] * Jl, Jl)  # (E,3,3)
+        W_e = jnp.einsum("eij,eik->ejk", wJp, Jl)          # (E, 6, 3) = Hpl block
+        # Negated gradients: the GN/LM step solves H dx = -J^T W r.
+        bp_e = -jnp.einsum("eij,ei->ej", wJp, r)           # (E, 6)
+        bl_e = -jnp.einsum("eij,ei->ej", w[:, None, None] * Jl, r)
+
+        Hpp = jnp.zeros((K, 6, 6)).at[prob.kf].add(Hpp_e)
+        Hll = jnp.zeros((P, 3, 3)).at[prob.pt].add(Hll_e)
+        bp = jnp.zeros((K, 6)).at[prob.kf].add(bp_e)
+        bl = jnp.zeros((P, 3)).at[prob.pt].add(bl_e)
+
+        # LM damping (additive, like g2o's Levenberg lambda on the diagonal),
+        # and pin fixed/empty blocks to identity so every inverse exists.
+        Hpp = Hpp + lam * eye6[None] + 1e-10 * eye6[None]
+        Hll = Hll + lam * eye3[None] + 1e-10 * eye3[None]
+        kf_pinned = prob.fixed_kf
+        pt_pinned = prob.fixed_pt
+        Hpp = jnp.where(kf_pinned[:, None, None], eye6[None], Hpp)
+        Hll = jnp.where(pt_pinned[:, None, None], eye3[None], Hll)
+        bp = jnp.where(kf_pinned[:, None], 0.0, bp)
+        bl = jnp.where(pt_pinned[:, None], 0.0, bl)
+        W_e = jnp.where(kf_pinned[prob.kf][:, None, None], 0.0, W_e)
+        W_e = jnp.where(pt_pinned[prob.pt][:, None, None], 0.0, W_e)
+
+        Hll_inv = _batched_inv3(Hll)
+
+        def S_matvec(vk):
+            """vk: (K, 6) -> S @ vk."""
+            y = jnp.einsum("eij,ej->ei", jnp.swapaxes(W_e, -1, -2), vk[prob.kf])
+            ysum = jnp.zeros((P, 3)).at[prob.pt].add(y)
+            z = jnp.einsum("pij,pj->pi", Hll_inv, ysum)
+            u = jnp.einsum("eij,ej->ei", W_e, z[prob.pt])
+            coupling = jnp.zeros((K, 6)).at[prob.kf].add(u)
+            return jnp.einsum("kij,kj->ki", Hpp, vk) - coupling
+
+        # Schur RHS.
+        z0 = jnp.einsum("pij,pj->pi", Hll_inv, bl)
+        rhs = bp - jnp.zeros((K, 6)).at[prob.kf].add(
+            jnp.einsum("eij,ej->ei", W_e, z0[prob.pt])
+        )
+
+        # Block-Jacobi PCG on S dx = rhs.
+        Minv = jnp.linalg.inv(Hpp)
+
+        def precond(v):
+            return jnp.einsum("kij,kj->ki", Minv, v)
+
+        def cg_body(_, cg):
+            xk, rk, pk, rz = cg
+            Sp = S_matvec(pk)
+            denom = jnp.sum(pk * Sp)
+            alpha = jnp.where(jnp.abs(denom) > 1e-12, rz / denom, 0.0)
+            xk = xk + alpha * pk
+            rk = rk - alpha * Sp
+            zk = precond(rk)
+            rz_new = jnp.sum(rk * zk)
+            beta = jnp.where(jnp.abs(rz) > 1e-12, rz_new / rz, 0.0)
+            pk = zk + beta * pk
+            return xk, rk, pk, rz_new
+
+        x0 = jnp.zeros((K, 6))
+        r0 = rhs
+        z0c = precond(r0)
+        cg0 = (x0, r0, z0c, jnp.sum(r0 * z0c))
+        dx_pose, _, _, _ = jax.lax.fori_loop(0, cg_iters, cg_body, cg0)
+
+        # Back-substitute points: dx_pt = Hll^-1 (bl - Hlp dx_pose).
+        y = jnp.einsum("eij,ej->ei", jnp.swapaxes(W_e, -1, -2), dx_pose[prob.kf])
+        hlp_dx = jnp.zeros((P, 3)).at[prob.pt].add(y)
+        dx_pt = jnp.einsum("pij,pj->pi", Hll_inv, bl - hlp_dx)
+
+        dx_pose = jnp.where(kf_pinned[:, None], 0.0, dx_pose)
+        dx_pt = jnp.where(pt_pinned[:, None], 0.0, dx_pt)
+
+        dR, dt = se3_exp(dx_pose)
+        R_new, t_new = se3_compose(dR, dt, R, t)
+        X_new = X + dx_pt
+
+        e_old = robust_total(R, t, X, active0)
+        e_new = robust_total(R_new, t_new, X_new, active0)
+        ok = e_new < e_old
+        R = jnp.where(ok, R_new, R)
+        t = jnp.where(ok, t_new, t)
+        X = jnp.where(ok, X_new, X)
+        lam = jnp.where(ok, lam * 0.5, lam * 4.0)
+        return (R, t, X, lam), None
+
+    (R, t, X, _), _ = jax.lax.scan(
+        step, (prob.R, prob.t, prob.X, jnp.float32(lam0)), None, length=iters
+    )
+    return R, t, X, edge_chi2(R, t, X)
