@@ -1,0 +1,444 @@
+"""Jit-compiled step functions for the tracking / mapping pipeline.
+
+Each function is pure over (MapState, frame arrays) and static config, so it
+compiles once per capacity configuration. They mirror the stages of
+Tracking::Track (/root/reference/src/Tracking.cc:285) and
+LocalMapping::Run (/root/reference/src/LocalMapping.cc:47).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tpuslam.geometry.camera import PinholeCamera, project
+from tpuslam.geometry.se3 import se3_apply, se3_compose, se3_inverse
+from tpuslam.geometry.triangulation import triangulate_two_view
+from tpuslam.mapstate.core import FrameFeatures, MapState
+from tpuslam.matching.hamming import hamming_matrix
+from tpuslam.matching.search import (
+    TH_HIGH,
+    TH_LOW,
+    resolve_duplicates,
+    rotation_consistency_mask,
+    search_by_projection_points,
+)
+from tpuslam.optim.ba import BAProblem, bundle_adjustment
+from tpuslam.optim.pose import PoseObs, pose_optimization
+
+_BIG = 1 << 20
+
+
+def predict_scale(dist, max_dist, scale_factor: float, n_levels: int):
+    """MapPoint::PredictScale (/root/reference/src/MapPoint.cc:385): octave
+    at which the point would be detected at this viewing distance."""
+    ratio = jnp.maximum(max_dist / jnp.maximum(dist, 1e-9), 1e-9)
+    lvl = jnp.ceil(jnp.log(ratio) / jnp.log(scale_factor)).astype(jnp.int32)
+    return jnp.clip(lvl, 0, n_levels - 1)
+
+
+@partial(jax.jit, static_argnames=("cam", "scale_factor", "n_levels", "th"))
+def track_motion_model(
+    cam: PinholeCamera,
+    m: MapState,
+    last_feats: FrameFeatures,
+    last_obs_pt: jnp.ndarray,
+    R_pred: jnp.ndarray,
+    t_pred: jnp.ndarray,
+    cur: FrameFeatures,
+    inv_sigma2_table: jnp.ndarray,
+    scale_factor: float = 1.2,
+    n_levels: int = 8,
+    th: float = 7.0,
+):
+    """TrackWithMotionModel (/root/reference/src/Tracking.cc:919): project the
+    last frame's map points with the predicted pose, match in a window, then
+    pose-optimize. Returns (R, t, obs_pt (N,), n_inliers).
+    """
+    N = cur.xy.shape[0]
+    pt_idx = last_obs_pt  # (N,) map point per last-frame keypoint
+    has_pt = (pt_idx >= 0) & last_feats.valid
+    Xw = m.pt_xyz[jnp.maximum(pt_idx, 0)]
+    p_cam = se3_apply(R_pred, t_pred, Xw)
+    uv = project(cam, p_cam)
+    in_front = p_cam[..., 2] > 0.05
+    in_img = (
+        (uv[:, 0] >= 0) & (uv[:, 0] < cam.width) & (uv[:, 1] >= 0) & (uv[:, 1] < cam.height)
+    )
+    proj_valid = has_pt & in_front & in_img & m.pt_valid[jnp.maximum(pt_idx, 0)]
+
+    radius = th * scale_factor ** last_feats.level.astype(jnp.float32)
+    idx, dist, ok = search_by_projection_points(
+        uv,
+        last_feats.desc,
+        proj_valid,
+        radius,
+        jnp.maximum(last_feats.level - 1, 0),
+        last_feats.level + 1,
+        cur.xy,
+        cur.desc,
+        cur.level,
+        cur.angle,
+        cur.valid,
+        max_dist=TH_HIGH,
+        nn_ratio=0.0,
+    )
+    ok = rotation_consistency_mask(last_feats.angle, cur.angle[idx], ok)
+
+    # Build the observation assignment for the current frame: keypoint
+    # idx[e] observes pt_idx[e] for each accepted match e.
+    obs_pt = jnp.full((N,), -1, jnp.int32)
+    obs_pt = obs_pt.at[idx].set(jnp.where(ok, pt_idx, obs_pt[idx]))
+
+    R, t, obs_pt2, n_inl = _optimize_frame_pose(
+        cam, m, cur, obs_pt, R_pred, t_pred, inv_sigma2_table
+    )
+    return R, t, obs_pt2, n_inl
+
+
+def _optimize_frame_pose(cam, m, cur, obs_pt, R0, t0, inv_sigma2_table):
+    """Pose-optimize the current frame from its obs_pt assignment; drop
+    outlier assignments (Tracking.cc:950-980 semantics)."""
+    has = (obs_pt >= 0) & cur.valid
+    X = m.pt_xyz[jnp.maximum(obs_pt, 0)]
+    uvr = jnp.concatenate([cur.xy, cur.u_right[:, None]], axis=-1)
+    inv_s2 = inv_sigma2_table[jnp.clip(cur.level, 0, inv_sigma2_table.shape[0] - 1)]
+    obs = PoseObs(pts_w=X, uvr=uvr, inv_sigma2=inv_s2, valid=has)
+    R, t, inliers, n_inl = pose_optimization(cam, R0, t0, obs)
+    obs_pt = jnp.where(inliers, obs_pt, -1)
+    return R, t, obs_pt, n_inl
+
+
+@partial(jax.jit, static_argnames=("cam", "scale_factor", "n_levels", "th"))
+def track_local_map(
+    cam: PinholeCamera,
+    m: MapState,
+    R: jnp.ndarray,
+    t: jnp.ndarray,
+    cur: FrameFeatures,
+    obs_pt: jnp.ndarray,
+    inv_sigma2_table: jnp.ndarray,
+    scale_factor: float = 1.2,
+    n_levels: int = 8,
+    th: float = 1.0,
+):
+    """TrackLocalMap (/root/reference/src/Tracking.cc:982): project ALL map
+    points through the frustum filter (Frame::isInFrustum, Frame.cc:342),
+    search unmatched ones into the current frame, re-optimize the pose.
+
+    The reference restricts candidates to the covisibility-local map (<= 80
+    KFs); with the SoA layout the frustum+scale gates over the whole map are
+    one vectorized pass, so the local-map restriction is unnecessary at these
+    capacities (documented deviation; same accepted matches).
+
+    Returns (R, t, obs_pt, n_inliers, visible_mask, found_mask).
+    """
+    P = m.capacity_pt
+    p_cam = se3_apply(R, t, m.pt_xyz)
+    uv = project(cam, p_cam)
+    z = p_cam[:, 2]
+    in_img = (
+        (uv[:, 0] >= 0) & (uv[:, 0] < cam.width) & (uv[:, 1] >= 0) & (uv[:, 1] < cam.height)
+    )
+    C = -(R.T @ t)
+    vec = m.pt_xyz - C
+    dist = jnp.linalg.norm(vec, axis=-1)
+    in_range = (dist >= m.pt_min_dist) & (dist <= m.pt_max_dist)
+    view_cos = jnp.sum(vec * m.pt_normal, axis=-1) / jnp.maximum(
+        dist * jnp.linalg.norm(m.pt_normal, axis=-1), 1e-9
+    )
+    good_view = view_cos > 0.5  # isInFrustum viewingCosLimit (Tracking.cc:1219)
+    visible = m.pt_valid & (z > 0.05) & in_img & in_range & good_view
+
+    # Exclude points already matched this frame.
+    already = jnp.zeros((P,), bool).at[jnp.maximum(obs_pt, 0)].set(obs_pt >= 0)
+    cand = visible & ~already
+
+    pred_lvl = predict_scale(dist, m.pt_max_dist, scale_factor, n_levels)
+    radius = jnp.where(view_cos > 0.998, 2.5, 4.0) * th * scale_factor ** pred_lvl.astype(
+        jnp.float32
+    )
+
+    # Keypoints already assigned must not be re-matched.
+    kp_taken = obs_pt >= 0
+    idx, dmin, ok = search_by_projection_points(
+        uv,
+        m.pt_desc,
+        cand,
+        radius,
+        jnp.maximum(pred_lvl - 1, 0),
+        pred_lvl + 1,
+        cur.xy,
+        cur.desc,
+        cur.level,
+        cur.angle,
+        cur.valid & ~kp_taken,
+        max_dist=TH_HIGH,
+        nn_ratio=0.8,
+        ratio_same_level_only=True,
+    )
+    obs_pt = obs_pt.at[idx].set(
+        jnp.where(ok & (obs_pt[idx] < 0), jnp.arange(P, dtype=jnp.int32), obs_pt[idx])
+    )
+
+    R, t, obs_pt, n_inl = _optimize_frame_pose(
+        cam, m, cur, obs_pt, R, t, inv_sigma2_table
+    )
+
+    # found/visible bookkeeping (MapPoint::IncreaseVisible/Found).
+    found = jnp.zeros((P,), bool).at[jnp.maximum(obs_pt, 0)].set(obs_pt >= 0)
+    return R, t, obs_pt, n_inl, visible, found
+
+
+@partial(jax.jit, static_argnames=("cam", "scale_factor", "n_levels"))
+def triangulate_new_points(
+    cam: PinholeCamera,
+    m: MapState,
+    kf_new: jnp.ndarray,
+    kf_old: jnp.ndarray,
+    inv_sigma2_table: jnp.ndarray,
+    scale_factor: float = 1.2,
+    n_levels: int = 8,
+):
+    """LocalMapping::CreateNewMapPoints between one KF pair
+    (/root/reference/src/LocalMapping.cc:207): epipolar-constrained matching
+    of unmatched keypoints (ORBmatcher::SearchForTriangulation,
+    ORBmatcher.cc:725), two-view triangulation, cheirality / parallax /
+    reprojection / scale-consistency vetting.
+
+    Returns (xyz (N, 3), desc, normals, min_d, max_d, slot_new (N,),
+    slot_old (N,), good (N,)) — candidate points, one per NEW-KF keypoint,
+    to be inserted by the caller.
+    """
+    N = m.kf_kp_xy.shape[1]
+    R1, t1 = m.kf_R[kf_old], m.kf_t[kf_old]
+    R2, t2 = m.kf_R[kf_new], m.kf_t[kf_new]
+
+    # Baseline gate (LocalMapping.cc:244-261, mono): skip the pair entirely
+    # when the baseline is below 1% of the new KF's median scene depth —
+    # near-zero-baseline triangulations are pure noise and poison the map.
+    C1 = -(R1.T @ t1)
+    C2g = -(R2.T @ t2)
+    baseline = jnp.linalg.norm(C2g - C1)
+    obs_new = m.kf_obs_pt[kf_new]
+    obs_ok = (obs_new >= 0) & m.kf_kp_valid[kf_new]
+    pc = se3_apply(R2, t2, m.pt_xyz[jnp.maximum(obs_new, 0)])
+    depths = jnp.where(obs_ok, pc[:, 2], jnp.nan)
+    med_depth = jnp.nanmedian(depths)
+    med_depth = jnp.where(jnp.isnan(med_depth), 1.0, med_depth)
+    pair_ok = baseline > 0.01 * med_depth
+
+    free1 = m.kf_kp_valid[kf_old] & (m.kf_obs_pt[kf_old] < 0) & pair_ok
+    free2 = m.kf_kp_valid[kf_new] & (m.kf_obs_pt[kf_new] < 0) & pair_ok
+
+    # Fundamental matrix F12 relating old (1) to new (2).
+    R12 = R1 @ R2.T
+    t12 = t1 - (R12 @ t2[:, None])[:, 0]
+    tx = jnp.array(
+        [
+            [0.0, -t12[2], t12[1]],
+            [t12[2], 0.0, -t12[0]],
+            [-t12[1], t12[0], 0.0],
+        ]
+    )
+    Kinv = jnp.linalg.inv(cam.K)
+    F12 = Kinv.T @ tx @ R12 @ Kinv
+
+    xy1 = m.kf_kp_xy[kf_old]
+    xy2 = m.kf_kp_xy[kf_new]
+    x1h = jnp.concatenate([xy1, jnp.ones((N, 1))], axis=-1)
+    x2h = jnp.concatenate([xy2, jnp.ones((N, 1))], axis=-1)
+    # Epipolar line of kp1 in image 2: l2 = F12^T x1 (x1 in image 1).
+    l2 = x1h @ F12  # (N, 3)
+    num = jnp.abs(jnp.sum(l2[:, None, :] * x2h[None, :, :], axis=-1))  # (N1, N2)
+    den = jnp.sqrt(jnp.maximum(l2[:, 0] ** 2 + l2[:, 1] ** 2, 1e-12))[:, None]
+    epi_d2 = (num / den) ** 2
+    sigma2_2 = 1.0 / inv_sigma2_table[jnp.clip(m.kf_kp_level[kf_new], 0, n_levels - 1)]
+    epi_ok = epi_d2 < 3.84 * sigma2_2[None, :]
+
+    pair = free1[:, None] & free2[None, :] & epi_ok
+    dist = jnp.where(
+        pair, hamming_matrix(m.kf_kp_desc[kf_old], m.kf_kp_desc[kf_new]), _BIG
+    )
+    d1 = jnp.min(dist, axis=0)  # best OLD kp for each NEW kp
+    i1 = jnp.argmin(dist, axis=0)
+    matched = d1 <= TH_LOW
+    matched = rotation_consistency_mask(
+        m.kf_kp_angle[kf_old][i1], m.kf_kp_angle[kf_new], matched
+    )
+    matched = resolve_duplicates(i1, d1, matched, N)
+
+    uv1m = xy1[i1]
+    uv2m = xy2
+    Xw, w = triangulate_two_view(
+        jnp.broadcast_to(R1, (N, 3, 3)),
+        jnp.broadcast_to(t1, (N, 3)),
+        jnp.broadcast_to(R2, (N, 3, 3)),
+        jnp.broadcast_to(t2, (N, 3)),
+        cam.K,
+        uv1m,
+        uv2m,
+    )
+    finite = jnp.all(jnp.isfinite(Xw), axis=-1) & (jnp.abs(w) > 1e-9)
+
+    # Parallax gate (LocalMapping.cc:299-316): require > ~1.1 deg.
+    C1 = -(R1.T @ t1)
+    C2 = -(R2.T @ t2)
+    r1v = Xw - C1
+    r2v = Xw - C2
+    cosp = jnp.sum(r1v * r2v, axis=-1) / jnp.maximum(
+        jnp.linalg.norm(r1v, axis=-1) * jnp.linalg.norm(r2v, axis=-1), 1e-12
+    )
+    parallax_ok = cosp < 0.9998
+
+    # Cheirality + reprojection chi2 in both KFs (LocalMapping.cc:353-431).
+    p1 = se3_apply(R1, t1, Xw)
+    p2 = se3_apply(R2, t2, Xw)
+    uv1p = project(cam, p1)
+    uv2p = project(cam, p2)
+    s2_1 = 1.0 / inv_sigma2_table[jnp.clip(m.kf_kp_level[kf_old][i1], 0, n_levels - 1)]
+    s2_2v = 1.0 / inv_sigma2_table[jnp.clip(m.kf_kp_level[kf_new], 0, n_levels - 1)]
+    e1 = jnp.sum((uv1p - uv1m) ** 2, axis=-1)
+    e2 = jnp.sum((uv2p - uv2m) ** 2, axis=-1)
+    reproj_ok = (e1 < 5.991 * s2_1) & (e2 < 5.991 * s2_2v)
+    chei = (p1[:, 2] > 0) & (p2[:, 2] > 0)
+
+    # Scale consistency (LocalMapping.cc:409-427).
+    d1v = jnp.linalg.norm(r1v, axis=-1)
+    d2v = jnp.linalg.norm(r2v, axis=-1)
+    sf1 = scale_factor ** m.kf_kp_level[kf_old][i1].astype(jnp.float32)
+    sf2 = scale_factor ** m.kf_kp_level[kf_new].astype(jnp.float32)
+    ratio_d = d1v / jnp.maximum(d2v, 1e-9)
+    ratio_o = sf1 / sf2
+    ratio_factor = 1.5 * scale_factor
+    scale_ok = (ratio_d < ratio_o * ratio_factor) & (ratio_d > ratio_o / ratio_factor)
+
+    good = matched & finite & parallax_ok & chei & reproj_ok & scale_ok
+
+    # Point attributes: normal from the new KF's view, scale range from its
+    # octave (MapPoint ctor + UpdateNormalAndDepth).
+    nvec = r2v / jnp.maximum(jnp.linalg.norm(r2v, axis=-1, keepdims=True), 1e-9)
+    max_d = d2v * sf2
+    min_d = max_d / (scale_factor ** (n_levels - 1))
+    return (
+        Xw,
+        m.kf_kp_desc[kf_new],
+        nvec,
+        0.8 * min_d,
+        1.2 * max_d,
+        jnp.arange(N, dtype=jnp.int32),
+        i1,
+        good,
+    )
+
+
+def build_local_ba_problem(
+    m: MapState,
+    center_kf: jnp.ndarray,
+    window: int,
+    max_edges: int,
+):
+    """Assemble a BAProblem over the `window` most recent keyframes.
+
+    The reference optimizes the covisibility neighborhood of the newest KF
+    with all other observers fixed (Optimizer::LocalBundleAdjustment,
+    /root/reference/src/Optimizer.cc:453-504); with a recency window the
+    active set is the same for exploratory motion. Fixed set: every other
+    valid KF (boundary) + KF 0 (gauge).
+    """
+    K, N = m.kf_obs_pt.shape
+    active = m.kf_valid & (jnp.arange(K) > center_kf - window) & (
+        jnp.arange(K) <= center_kf
+    )
+    fixed_kf = m.kf_valid & ~active | (jnp.arange(K) == 0)
+
+    # Edges: all (kf, kp) slots with a point whose point is observed by an
+    # active KF. For capacity reasons take ALL observations of valid KFs;
+    # edges of fixed KFs observing non-active points are pruned by validity.
+    kfi = jnp.repeat(jnp.arange(K, dtype=jnp.int32), N)
+    pti = m.kf_obs_pt.reshape(-1)
+    has = (pti >= 0) & m.kf_kp_valid.reshape(-1) & m.kf_valid[kfi]
+    uvr = jnp.concatenate(
+        [m.kf_kp_xy.reshape(K * N, 2), m.kf_kp_uright.reshape(K * N, 1)], axis=-1
+    )
+    # Points adjustable only if seen by an active KF.
+    P = m.capacity_pt
+    seen_active = jnp.zeros((P + 1,), bool).at[
+        jnp.where(has & active[kfi], pti, P)
+    ].set(True)[:P]
+    fixed_pt = ~seen_active
+    return kfi, jnp.maximum(pti, 0), uvr, has, fixed_kf, fixed_pt
+
+
+@partial(jax.jit, static_argnames=("cam", "window", "iters", "n_levels"))
+def local_bundle_adjustment(
+    cam: PinholeCamera,
+    m: MapState,
+    center_kf: jnp.ndarray,
+    inv_sigma2_table: jnp.ndarray,
+    window: int = 8,
+    iters: int = 8,
+    n_levels: int = 8,
+):
+    """Local BA over the recent-KF window; writes optimized poses/points back
+    into the map and invalidates outlier observations (Optimizer.cc:659-757).
+
+    Returns the updated MapState.
+    """
+    K, N = m.kf_obs_pt.shape
+    kfi, pti, uvr, has, fixed_kf, fixed_pt = build_local_ba_problem(
+        m, center_kf, window, 0
+    )
+    inv_s2 = inv_sigma2_table[
+        jnp.clip(m.kf_kp_level.reshape(-1), 0, inv_sigma2_table.shape[0] - 1)
+    ]
+    prob = BAProblem(
+        R=m.kf_R,
+        t=m.kf_t,
+        X=m.pt_xyz,
+        kf=kfi,
+        pt=pti,
+        uvr=uvr,
+        inv_sigma2=inv_s2,
+        valid=has & m.pt_valid[pti],
+        fixed_kf=fixed_kf,
+        fixed_pt=fixed_pt,
+    )
+    R, t, X, chi2 = bundle_adjustment(cam, prob, iters=iters, use_huber=True)
+    # Outlier pruning: observations with chi2 beyond the threshold are
+    # detached (mono 5.991 / stereo 7.815, Optimizer.cc:705-720).
+    stereo_e = uvr[:, 2] >= 0
+    th = jnp.where(stereo_e, 7.815, 5.991)
+    bad = prob.valid & (chi2 > th)
+    obs = m.kf_obs_pt.reshape(-1)
+    obs = jnp.where(bad, -1, obs)
+    return m._replace(kf_R=R, kf_t=t, pt_xyz=X, kf_obs_pt=obs.reshape(K, N))
+
+
+@jax.jit
+def cull_map_points(m: MapState, current_kf: jnp.ndarray):
+    """MapPointCulling (/root/reference/src/LocalMapping.cc:170): invalidate
+    points whose tracked/visible ratio is below 0.25, or that are still
+    observed by fewer than 2 keyframes a couple of keyframes after creation.
+    Culled points are detached from every observation slot.
+    """
+    P = m.capacity_pt
+    ratio = m.pt_found / jnp.maximum(m.pt_visible, 1.0)
+    # Observation counts per point.
+    has = (m.kf_obs_pt >= 0) & m.kf_kp_valid & m.kf_valid[:, None]
+    flat = jnp.where(has, m.kf_obs_pt, P).reshape(-1)
+    cnt = jnp.zeros((P + 1,)).at[flat].add(1.0)[:P]
+    age = current_kf - m.pt_first_kf  # in keyframes
+    bad = m.pt_valid & (
+        ((ratio < 0.25) & (m.pt_visible >= 4.0))
+        | ((age >= 2) & (cnt < 2.0))
+    )
+    obs = m.kf_obs_pt
+    obs_bad = bad[jnp.maximum(obs, 0)] & (obs >= 0)
+    return m._replace(
+        pt_valid=m.pt_valid & ~bad,
+        kf_obs_pt=jnp.where(obs_bad, -1, obs),
+    )

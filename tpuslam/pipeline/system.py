@@ -1,0 +1,83 @@
+"""Public System facade, the counterpart of ORB_SLAM2::System
+(/root/reference/include/System.h:49-177): construct with camera settings
+and sensor type, feed frames, save trajectories.
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpuslam.geometry.camera import PinholeCamera
+from tpuslam.geometry.se3 import rotmat_to_quat
+from tpuslam.ops.orb import ORBConfig
+from tpuslam.pipeline.tracker import Tracker, TrackerConfig, TrackingState
+
+
+class SensorType(enum.Enum):
+    MONOCULAR = 0
+    STEREO = 1
+    RGBD = 2
+
+
+class System:
+    """Facade: System::TrackMonocular / SaveTrajectoryTUM / SaveTrajectoryKITTI
+    (/root/reference/src/System.cc:229,337,434)."""
+
+    def __init__(
+        self,
+        cam: PinholeCamera,
+        sensor: SensorType = SensorType.MONOCULAR,
+        orb: Optional[ORBConfig] = None,
+        **tracker_kwargs,
+    ):
+        self.sensor = sensor
+        cfg = TrackerConfig(cam=cam, orb=orb or ORBConfig(), **tracker_kwargs)
+        self.tracker = Tracker(cfg)
+        self._timestamps = {}
+
+    def track_monocular(self, img, timestamp: float):
+        frame_id = self.tracker.n_frames
+        self._timestamps[frame_id] = timestamp
+        return self.tracker.track_monocular(jnp.asarray(img, jnp.float32), frame_id)
+
+    @property
+    def state(self) -> TrackingState:
+        return self.tracker.state
+
+    def map_stats(self):
+        m = self.tracker.map
+        return {
+            "n_keyframes": int(m.n_kf),
+            "n_points": int(np.asarray(m.pt_valid).sum()),
+            "state": self.tracker.state.name,
+        }
+
+    def save_trajectory_tum(self, path: str):
+        """TUM format: timestamp tx ty tz qx qy qz qw of T_wc
+        (System::SaveTrajectoryTUM, System.cc:337)."""
+        with open(path, "w") as f:
+            for frame_id, R, t, lost in self.tracker.export_trajectory():
+                if lost:
+                    continue
+                Rwc = R.T
+                twc = -Rwc @ t
+                q = np.asarray(rotmat_to_quat(jnp.asarray(Rwc)))
+                ts = self._timestamps.get(frame_id, float(frame_id))
+                f.write(
+                    f"{ts:.6f} {twc[0]:.7f} {twc[1]:.7f} {twc[2]:.7f} "
+                    f"{q[0]:.7f} {q[1]:.7f} {q[2]:.7f} {q[3]:.7f}\n"
+                )
+
+    def save_trajectory_kitti(self, path: str):
+        """KITTI format: 12 entries of the 3x4 T_wc matrix per line
+        (System::SaveTrajectoryKITTI, System.cc:434)."""
+        with open(path, "w") as f:
+            for frame_id, R, t, lost in self.tracker.export_trajectory():
+                Rwc = R.T
+                twc = -Rwc @ t
+                M = np.concatenate([Rwc, twc[:, None]], axis=1)
+                f.write(" ".join(f"{v:.9e}" for v in M.reshape(-1)) + "\n")

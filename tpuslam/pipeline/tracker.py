@@ -1,0 +1,491 @@
+"""Host-side tracking orchestrator: the state machine of the reference's
+Tracking thread (/root/reference/src/Tracking.cc) over jitted step functions.
+
+States mirror Tracking.h:81-87 — NO_IMAGES_YET, NOT_INITIALIZED, OK, LOST.
+The per-frame flow is GrabImage -> (init | motion-model track -> local-map
+track) -> keyframe decision -> mapping work (triangulate + local BA), with
+the mapping stage running synchronously between frames in this single-host
+configuration (the reference's LocalMapping thread hand-off, SURVEY.md P5,
+becomes a direct call; the distributed layer makes it async).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuslam.geometry.camera import PinholeCamera, undistort_points
+from tpuslam.geometry.se3 import se3_compose, se3_inverse
+from tpuslam.mapstate.core import (
+    FrameFeatures,
+    MapState,
+    compute_point_descriptors,
+    insert_keyframe,
+    insert_points,
+    make_empty_map,
+    update_point_normals,
+)
+from tpuslam.matching.search import search_for_initialization, match_nn_ratio
+from tpuslam.ops.orb import ORBConfig, extract_orb
+from tpuslam.optim.ba import BAProblem, bundle_adjustment
+from tpuslam.pipeline import steps
+from tpuslam.sfm.initializer import initialize_two_view
+from tpuslam.sfm.pnp import pnp_ransac
+
+
+class TrackingState(enum.Enum):
+    NO_IMAGES_YET = 0
+    NOT_INITIALIZED = 1
+    OK = 2
+    LOST = 3
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackerConfig:
+    cam: PinholeCamera
+    orb: ORBConfig = ORBConfig()
+    max_keyframes: int = 150
+    max_points: int = 15000
+    # Keyframe cadence (Tracking::NeedNewKeyFrame, Tracking.cc:1029):
+    # mMaxFrames = fps, ref-ratio 0.9.
+    kf_max_frames: int = 30
+    kf_min_frames: int = 1
+    kf_ref_ratio: float = 0.9
+    min_inliers_ok: int = 30       # TrackLocalMap acceptance (Tracking.cc:1020)
+    min_inliers_motion: int = 10   # motion-model acceptance (Tracking.cc:962)
+    local_ba_window: int = 8
+    init_min_matches: int = 100    # MonocularInitialization (Tracking.cc:606,637)
+
+
+class Tracker:
+    """Single-session SLAM tracker. Mono first; stereo/RGB-D via depth input."""
+
+    def __init__(self, config: TrackerConfig):
+        self.cfg = config
+        self.state = TrackingState.NO_IMAGES_YET
+        # Keyframe keypoint capacity is 2x: monocular initialization extracts
+        # twice the features (Tracking.cc:125-133 mpIniORBextractor), and the
+        # two bootstrap keyframes retain them.
+        self.kp_capacity = 2 * config.orb.n_features
+        self.map: MapState = make_empty_map(
+            config.max_keyframes, self.kp_capacity, config.max_points
+        )
+        nl = config.orb.n_levels
+        sf = config.orb.scale_factor
+        self.scale_factors = jnp.asarray([sf**l for l in range(nl)], jnp.float32)
+        self.inv_sigma2 = jnp.asarray(
+            [1.0 / (sf**l) ** 2 for l in range(nl)], jnp.float32
+        )
+        self._extract = jax.jit(lambda img: extract_orb(img, config.orb))
+        init_orb = dataclasses.replace(config.orb, n_features=self.kp_capacity)
+        self._extract_init = jax.jit(lambda img: extract_orb(img, init_orb))
+        # Init reference frame.
+        self._init_feats: Optional[FrameFeatures] = None
+        self._init_frame_id = -1
+        # Last frame.
+        self._last_feats: Optional[FrameFeatures] = None
+        self._last_obs: Optional[jnp.ndarray] = None
+        self._last_R = jnp.eye(3)
+        self._last_t = jnp.zeros(3)
+        self._velocity = None  # (R, t) of T_cur * T_last^-1
+        self._frames_since_kf = 0
+        self._last_kf_idx = -1
+        self._ref_kf_tracked = 0
+        self._key = jax.random.PRNGKey(0)
+        # Trajectory: frame_id -> (ref_kf, R_rel, t_rel, lost_flag); poses are
+        # recovered at export against optimized KF poses, mirroring
+        # System::SaveTrajectoryTUM (/root/reference/src/System.cc:337-396).
+        self.trajectory = []
+        self.n_frames = 0
+
+    # ------------------------------------------------------------------ util
+
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    def _frame_features(self, img: jnp.ndarray, init: bool = False) -> FrameFeatures:
+        f = self._extract_init(img) if init else self._extract(img)
+        xy = f.xy
+        c = self.cfg.cam
+        if abs(c.k1) > 1e-12 or abs(c.k2) > 1e-12:
+            xy = undistort_points(c, xy)
+        n = xy.shape[0]
+        return FrameFeatures(
+            xy=xy,
+            level=f.level,
+            angle=f.angle,
+            desc=f.desc,
+            valid=f.valid,
+            u_right=jnp.full((n,), -1.0),
+            depth=jnp.zeros((n,)),
+        )
+
+    def _pad_feats(self, feats: FrameFeatures) -> FrameFeatures:
+        """Pad a frame's keypoint arrays to the keyframe capacity."""
+        n = feats.xy.shape[0]
+        cap = self.kp_capacity
+        if n == cap:
+            return feats
+        pad = cap - n
+
+        def p(a, fill=0.0):
+            width = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+            return jnp.pad(a, width, constant_values=fill)
+
+        return FrameFeatures(
+            xy=p(feats.xy),
+            level=p(feats.level),
+            angle=p(feats.angle),
+            desc=p(feats.desc),
+            valid=p(feats.valid, False),
+            u_right=p(feats.u_right, -1.0),
+            depth=p(feats.depth),
+        )
+
+    def _record_pose(self, frame_id, R, t, lost=False):
+        ref = self._last_kf_idx
+        if ref >= 0:
+            Rr, tr = se3_compose(
+                R, t, *se3_inverse(self.map.kf_R[ref], self.map.kf_t[ref])
+            )
+        else:
+            Rr, tr = R, t
+        self.trajectory.append(
+            (frame_id, ref, np.asarray(Rr), np.asarray(tr), lost)
+        )
+
+    # ------------------------------------------------------- initialization
+
+    def _try_initialize(self, feats: FrameFeatures, frame_id: int) -> bool:
+        cfg = self.cfg
+        if self._init_feats is None or int(jnp.sum(self._init_feats.valid)) <= cfg.init_min_matches:
+            self._init_feats = feats
+            self._init_frame_id = frame_id
+            return False
+        ref = self._init_feats
+        idx, dist, ok = search_for_initialization(
+            ref.xy, ref.desc, ref.level, ref.angle, ref.valid,
+            feats.xy, feats.desc, feats.level, feats.angle, feats.valid,
+            window=100.0,
+        )
+        n_matches = int(jnp.sum(ok))
+        if n_matches < cfg.init_min_matches:
+            self._init_feats = feats  # reset reference (Tracking.cc:633-645)
+            self._init_frame_id = frame_id
+            return False
+        res = initialize_two_view(
+            self._next_key(), cfg.cam.K, ref.xy, feats.xy[idx], ok
+        )
+        if not bool(res.success):
+            return False
+        return self._create_initial_map(ref, feats, idx, res, frame_id)
+
+    def _create_initial_map(self, ref, cur, idx, res, frame_id):
+        """CreateInitialMapMonocular (/root/reference/src/Tracking.cc:689):
+        two keyframes, triangulated points, global BA, median-depth scale."""
+        cfg = self.cfg
+        N = ref.xy.shape[0]
+        good = res.inliers
+        X = res.points
+        # Scale so median depth = 1 (Tracking.cc:738-760).
+        depths = jnp.where(good, X[:, 2], jnp.nan)
+        med = jnp.nanmedian(depths)
+        med = jnp.where(jnp.isnan(med) | (med <= 0), 1.0, med)
+        X = X / med
+        t2 = res.t / med
+
+        m = self.map
+        # Insert points first (slot indices known before KF insertion).
+        r2v = X - (-(res.R.T @ t2))
+        d2 = jnp.linalg.norm(r2v, axis=-1)
+        sf2 = self.scale_factors[jnp.clip(cur.level[idx], 0, cfg.orb.n_levels - 1)]
+        max_d = d2 * sf2
+        min_d = max_d / self.scale_factors[-1]
+        m, slots = insert_points(
+            m,
+            X,
+            cur.desc[idx],
+            1,  # ref kf will be index 1
+            good,
+            r2v / jnp.maximum(jnp.linalg.norm(r2v, axis=-1, keepdims=True), 1e-9),
+            0.8 * min_d,
+            1.2 * max_d,
+        )
+        obs0 = jnp.where(good, slots, -1).astype(jnp.int32)
+        # KF1's obs table is per-KF1-keypoint: scatter through idx.
+        obs1 = jnp.full((N,), -1, jnp.int32)
+        obs1 = obs1.at[idx].set(jnp.where(good, slots, obs1[idx]))
+
+        m, k0 = insert_keyframe(m, ref, jnp.eye(3), jnp.zeros(3), self._init_frame_id, obs0)
+        m, k1 = insert_keyframe(m, cur, res.R, t2, frame_id, obs1)
+
+        # Full BA on the initial map (Tracking.cc:738 GlobalBundleAdjustemnt
+        # with 20 iterations).
+        m = self._global_ba(m, iters=20)
+
+        # Weak-geometry rejection (Tracking.cc:744-749 spirit): on
+        # quasi-degenerate scenes a wrong H decomposition passes the
+        # triangulation gates but global BA collapses the baseline relative
+        # to the (unit-median) scene depth. Reject and retry with new frames.
+        depths_ba = jnp.where(m.pt_valid, m.pt_xyz[:, 2], jnp.nan)
+        med_ba = jnp.nanmedian(depths_ba)
+        baseline = jnp.linalg.norm(m.kf_t[1])
+        if not bool(jnp.isfinite(med_ba)) or float(baseline) < 0.02 * max(
+            float(med_ba), 1e-6
+        ):
+            self.map = make_empty_map(
+                self.cfg.max_keyframes, self.kp_capacity, self.cfg.max_points
+            )
+            self._init_feats = None
+            return False
+
+        m = update_point_normals(m, self.scale_factors)
+        self.map = m
+
+        self.state = TrackingState.OK
+        self._last_feats = cur
+        self._last_obs = obs1
+        self._last_R = m.kf_R[1]
+        self._last_t = m.kf_t[1]
+        self._velocity = None
+        self._last_kf_idx = 1
+        self._frames_since_kf = 0
+        self._ref_kf_tracked = int(jnp.sum(obs1 >= 0))
+        self._record_pose(frame_id, self._last_R, self._last_t)
+        return True
+
+    def _global_ba(self, m: MapState, iters: int = 20) -> MapState:
+        K, N = m.kf_obs_pt.shape
+        kfi = jnp.repeat(jnp.arange(K, dtype=jnp.int32), N)
+        pti = m.kf_obs_pt.reshape(-1)
+        has = (pti >= 0) & m.kf_kp_valid.reshape(-1) & m.kf_valid[kfi]
+        uvr = jnp.concatenate(
+            [m.kf_kp_xy.reshape(K * N, 2), m.kf_kp_uright.reshape(K * N, 1)], axis=-1
+        )
+        inv_s2 = self.inv_sigma2[jnp.clip(m.kf_kp_level.reshape(-1), 0, len(self.inv_sigma2) - 1)]
+        prob = BAProblem(
+            R=m.kf_R,
+            t=m.kf_t,
+            X=m.pt_xyz,
+            kf=kfi,
+            pt=jnp.maximum(pti, 0),
+            uvr=uvr,
+            inv_sigma2=inv_s2,
+            valid=has & m.pt_valid[jnp.maximum(pti, 0)],
+            fixed_kf=~m.kf_valid | (jnp.arange(K) == 0),
+            fixed_pt=~m.pt_valid,
+        )
+        R, t, X, _ = bundle_adjustment(self.cfg.cam, prob, iters=iters)
+        return m._replace(kf_R=R, kf_t=t, pt_xyz=X)
+
+    # ------------------------------------------------------------- tracking
+
+    def _predict_pose(self):
+        if self._velocity is not None:
+            Rv, tv = self._velocity
+            return se3_compose(Rv, tv, self._last_R, self._last_t)
+        return self._last_R, self._last_t
+
+    def _track_frame(self, feats: FrameFeatures, frame_id: int) -> bool:
+        cfg = self.cfg
+        R_pred, t_pred = self._predict_pose()
+        R, t, obs, n_inl = steps.track_motion_model(
+            cfg.cam, self.map, self._last_feats, self._last_obs,
+            R_pred, t_pred, feats, self.inv_sigma2,
+            scale_factor=cfg.orb.scale_factor, n_levels=cfg.orb.n_levels,
+            th=7.0,
+        )
+        if int(n_inl) < cfg.min_inliers_motion:
+            # Wider window retry (Tracking.cc:944: th=2x for stereo/mono retry).
+            R, t, obs, n_inl = steps.track_motion_model(
+                cfg.cam, self.map, self._last_feats, self._last_obs,
+                R_pred, t_pred, feats, self.inv_sigma2,
+                scale_factor=cfg.orb.scale_factor, n_levels=cfg.orb.n_levels,
+                th=14.0,
+            )
+        if int(n_inl) < cfg.min_inliers_motion:
+            return False
+
+        R, t, obs, n_inl, visible, found = steps.track_local_map(
+            cfg.cam, self.map, R, t, feats, obs, self.inv_sigma2,
+            scale_factor=cfg.orb.scale_factor, n_levels=cfg.orb.n_levels,
+        )
+        n_tracked = int(n_inl)
+        if n_tracked < cfg.min_inliers_ok:
+            return False
+
+        # Bookkeeping.
+        self.map = self.map._replace(
+            pt_visible=self.map.pt_visible + visible.astype(jnp.float32),
+            pt_found=self.map.pt_found + found.astype(jnp.float32),
+        )
+        Rl_inv, tl_inv = se3_inverse(self._last_R, self._last_t)
+        self._velocity = se3_compose(R, t, Rl_inv, tl_inv)
+        self._last_R, self._last_t = R, t
+        self._last_feats = feats
+        self._last_obs = obs
+        self._frames_since_kf += 1
+
+        if self._need_new_keyframe(n_tracked):
+            self._create_keyframe(feats, obs, R, t, frame_id)
+        # Record AFTER any keyframe creation: _create_keyframe refines the
+        # pose with local BA and updates _last_R/_last_t; recording the
+        # pre-BA pose against the post-BA reference KF would inject a
+        # discontinuity into the exported trajectory.
+        self._record_pose(frame_id, self._last_R, self._last_t)
+        return True
+
+    def _need_new_keyframe(self, n_tracked: int) -> bool:
+        """Condensed NeedNewKeyFrame (/root/reference/src/Tracking.cc:1029):
+        cadence limit OR tracked fraction below 0.9x of the reference KF,
+        with a minimum of matches to be worth inserting."""
+        cfg = self.cfg
+        if self.map.n_kf >= self.map.capacity_kf:
+            return False
+        if n_tracked < 15:
+            return False
+        c1 = self._frames_since_kf >= cfg.kf_max_frames
+        c2 = (
+            n_tracked < cfg.kf_ref_ratio * max(self._ref_kf_tracked, 1)
+            and self._frames_since_kf >= cfg.kf_min_frames
+        )
+        return bool(c1 or c2)
+
+    def _create_keyframe(self, feats, obs, R, t, frame_id):
+        cfg = self.cfg
+        n = feats.xy.shape[0]
+        if n < self.kp_capacity:
+            feats = self._pad_feats(feats)
+            obs = jnp.pad(obs, (0, self.kp_capacity - n), constant_values=-1)
+        m, ki = insert_keyframe(self.map, feats, R, t, frame_id, obs)
+        ki_int = int(ki)
+        # Triangulate new points against up to 3 recent keyframes with
+        # adequate baseline (LocalMapping::CreateNewMapPoints iterates the
+        # best covisible neighbors, LocalMapping.cc:207-244; recency is the
+        # same set under exploratory motion).
+        for prev in range(max(ki_int - 3, 0), ki_int):
+            (xyz, desc, nvec, min_d, max_d, slot_new, slot_old, good) = (
+                steps.triangulate_new_points(
+                    cfg.cam, m, jnp.int32(ki_int), jnp.int32(prev), self.inv_sigma2,
+                    scale_factor=cfg.orb.scale_factor, n_levels=cfg.orb.n_levels,
+                )
+            )
+            m, slots = insert_points(m, xyz, desc, ki_int, good, nvec, min_d, max_d)
+            created = good & (slots >= 0)
+            # Register observations in both keyframes.
+            obs_new = m.kf_obs_pt[ki_int].at[slot_new].set(
+                jnp.where(created, slots, m.kf_obs_pt[ki_int][slot_new])
+            )
+            obs_old = m.kf_obs_pt[prev].at[slot_old].set(
+                jnp.where(created, slots, m.kf_obs_pt[prev][slot_old])
+            )
+            m = m._replace(
+                kf_obs_pt=m.kf_obs_pt.at[ki_int].set(obs_new).at[prev].set(obs_old)
+            )
+        # Recent-point culling (LocalMapping::MapPointCulling).
+        m = steps.cull_map_points(m, jnp.int32(ki_int))
+        # Local BA around the new keyframe.
+        m = steps.local_bundle_adjustment(
+            cfg.cam, m, jnp.int32(ki_int), self.inv_sigma2,
+            window=cfg.local_ba_window, n_levels=cfg.orb.n_levels,
+        )
+        m = update_point_normals(m, self.scale_factors)
+        self.map = m
+        self._last_kf_idx = ki_int
+        self._frames_since_kf = 0
+        self._ref_kf_tracked = int(jnp.sum(self.map.kf_obs_pt[ki_int] >= 0))
+        # Keep the tracker's pose in sync with the BA-refined keyframe.
+        self._last_R = self.map.kf_R[ki_int]
+        self._last_t = self.map.kf_t[ki_int]
+        self._velocity = None
+
+    # --------------------------------------------------------- relocalization
+
+    def _relocalize(self, feats: FrameFeatures, frame_id: int) -> bool:
+        """Brute-force descriptor relocalization + PnP: stands in for the
+        BoW-candidate flow (Tracking::Relocalization, Tracking.cc:1393) until
+        the place-recognition layer is wired in."""
+        m = self.map
+        pair = m.pt_valid[:, None] & feats.valid[None, :]
+        idx, dist, ok = match_nn_ratio(
+            m.pt_desc, feats.desc, pair, max_dist=50, nn_ratio=0.75
+        )
+        if int(jnp.sum(ok)) < 15:
+            return False
+        res = pnp_ransac(
+            self._next_key(), self.cfg.cam.K,
+            m.pt_xyz, feats.xy[idx],
+            jnp.ones(m.capacity_pt), ok,
+            min_inliers=15,
+        )
+        if not bool(res.success):
+            return False
+        obs = jnp.full((feats.xy.shape[0],), -1, jnp.int32)
+        sel = ok & res.inliers
+        obs = obs.at[idx].set(
+            jnp.where(sel, jnp.arange(m.capacity_pt, dtype=jnp.int32), obs[idx])
+        )
+        R, t, obs, n_inl, visible, found = steps.track_local_map(
+            self.cfg.cam, m, res.R, res.t, feats, obs, self.inv_sigma2,
+            scale_factor=self.cfg.orb.scale_factor, n_levels=self.cfg.orb.n_levels,
+        )
+        if int(n_inl) < self.cfg.min_inliers_ok:
+            return False
+        self._last_R, self._last_t = R, t
+        self._last_feats = feats
+        self._last_obs = obs
+        self._velocity = None
+        return True
+
+    # ------------------------------------------------------------- public API
+
+    def track_monocular(self, img: jnp.ndarray, frame_id: int):
+        """Process one grayscale frame; returns T_cw (R, t) or None."""
+        self.n_frames += 1
+
+        if self.state in (TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED):
+            self.state = TrackingState.NOT_INITIALIZED
+            feats = self._frame_features(img, init=True)
+            if self._try_initialize(feats, frame_id):
+                return np.asarray(self._last_R), np.asarray(self._last_t)
+            return None
+        feats = self._frame_features(img)
+
+        if self.state == TrackingState.OK:
+            if self._track_frame(feats, frame_id):
+                return np.asarray(self._last_R), np.asarray(self._last_t)
+            self.state = TrackingState.LOST
+            self._record_pose(frame_id, self._last_R, self._last_t, lost=True)
+            return None
+
+        # LOST.
+        if self._relocalize(feats, frame_id):
+            self.state = TrackingState.OK
+            self._record_pose(frame_id, self._last_R, self._last_t)
+            return np.asarray(self._last_R), np.asarray(self._last_t)
+        self._record_pose(frame_id, self._last_R, self._last_t, lost=True)
+        return None
+
+    def export_trajectory(self):
+        """Final camera trajectory: compose each frame's stored relative pose
+        with its (optimized) reference keyframe pose
+        (System::SaveTrajectoryTUM semantics). Returns list of
+        (frame_id, R_cw (3,3) np, t_cw (3,) np, lost)."""
+        out = []
+        kf_R = np.asarray(self.map.kf_R)
+        kf_t = np.asarray(self.map.kf_t)
+        for frame_id, ref, Rr, tr, lost in self.trajectory:
+            if ref >= 0:
+                R = Rr @ kf_R[ref]
+                t = Rr @ kf_t[ref] + tr
+            else:
+                R, t = Rr, tr
+            out.append((frame_id, R, t, lost))
+        return out
