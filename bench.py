@@ -1,0 +1,69 @@
+"""Benchmark: per-frame tracking throughput on real TPU hardware.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload: the per-frame hot path at reference operating parameters
+(640x480 grayscale, 1000 ORB features, 8-level pyramid — TUM1.yaml) —
+ORB extraction + projection matching against 1000 map points + pose
+optimization, all in one jitted program (see __graft_entry__.entry).
+
+Baseline: the reference C++ tracker runs ~30 ms/frame (~33 fps) on the
+recommended i7 (README.md:59 claims real-time at 30 fps on TUM);
+vs_baseline = our frames/s / 33.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from __graft_entry__ import entry
+
+    step, args = entry()
+    jstep = jax.jit(step)
+
+    # Warm-up / compile. NOTE: on the tunneled axon backend
+    # jax.block_until_ready returns before execution completes, so all
+    # synchronization here forces a device->host materialization instead.
+    np.asarray(jstep(*args)[1])
+
+    # Distinct synthetic frames to avoid any caching artifacts.
+    rng = np.random.default_rng(1)
+    import jax.numpy as jnp
+
+    frames = [
+        jnp.asarray(rng.uniform(0, 255, (480, 640)).astype(np.float32)) for _ in range(8)
+    ]
+    for f in frames:
+        np.asarray(jstep(f, *args[1:])[1])
+
+    # Pipelined throughput: submit the whole stream, then fetch the last
+    # result — device execution is in-order, so the elapsed time bounds the
+    # full stream's compute.
+    n_iters = 50
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        out = jstep(frames[i % len(frames)], *args[1:])
+    np.asarray(out[1])
+    t1 = time.perf_counter()
+
+    fps = n_iters / (t1 - t0)
+    baseline_fps = 33.0
+    print(
+        json.dumps(
+            {
+                "metric": "tracking_frames_per_second_per_chip",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / baseline_fps, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
