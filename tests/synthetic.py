@@ -37,9 +37,10 @@ class StepWallScene:
         self.band = band
         self.tex_scale = tex_scale
 
-    def render(self, cam: PinholeCamera, R, t):
+    def render(self, cam: PinholeCamera, R, t, with_depth: bool = False):
         """Render from world->camera pose (R, t); rays hit the slab whose
-        world-x band they land in (nearest intersection wins)."""
+        world-x band they land in (nearest intersection wins). With
+        with_depth=True also returns the camera-frame z-depth image."""
         H, W = cam.height, cam.width
         R = np.asarray(R)
         t = np.asarray(t)
@@ -51,6 +52,7 @@ class StepWallScene:
         nb = len(self.depths)
         x_lo = -0.5 * nb * self.band
         out = np.zeros(H * W, np.float32)
+        zbuf = np.zeros(H * W, np.float32)
         best_lam = np.full(H * W, np.inf, np.float32)
         for i, z_plane in enumerate(self.depths):
             lam = (z_plane - C[2]) / np.where(np.abs(d[2]) < 1e-9, 1e-9, d[2])
@@ -73,7 +75,11 @@ class StepWallScene:
                 + tex[y0 + 1, x0 + 1] * wx * wy
             )
             out = np.where(hit, val, out)
+            z_cam = (R[2] @ P) + t[2]
+            zbuf = np.where(hit, z_cam, zbuf)
             best_lam = np.where(hit, lam, best_lam)
+        if with_depth:
+            return out.reshape(H, W), zbuf.reshape(H, W)
         return out.reshape(H, W)
 
 

@@ -442,3 +442,38 @@ def cull_map_points(m: MapState, current_kf: jnp.ndarray):
         pt_valid=m.pt_valid & ~bad,
         kf_obs_pt=jnp.where(obs_bad, -1, obs),
     )
+
+
+@partial(jax.jit, static_argnames=("config", "fx", "bf"))
+def stereo_frame_features(
+    imgL: jnp.ndarray,
+    imgR: jnp.ndarray,
+    config,
+    fx: float,
+    bf: float,
+):
+    """Stereo Frame construction (/root/reference/src/Frame.cc:74): ORB on
+    both images (the reference uses two threads, Frame.cc:94-103 — here one
+    program; XLA schedules both extractions), then row-banded stereo
+    matching with SAD subpixel refinement. Returns (feats_left FrameFeatures
+    with u_right/depth filled)."""
+    from tpuslam.mapstate.core import FrameFeatures
+    from tpuslam.ops.image import build_pyramid
+    from tpuslam.ops.orb import extract_orb
+    from tpuslam.ops.stereo import stereo_match
+
+    fL = extract_orb(imgL, config)
+    fR = extract_orb(imgR, config)
+    pyrL = build_pyramid(imgL, config.n_levels, config.scale_factor)
+    pyrR = build_pyramid(imgR, config.n_levels, config.scale_factor)
+    u_right, depth, ok = stereo_match(fL, fR, pyrL, pyrR, config, fx, bf)
+    n = fL.xy.shape[0]
+    return FrameFeatures(
+        xy=fL.xy,
+        level=fL.level,
+        angle=fL.angle,
+        desc=fL.desc,
+        valid=fL.valid,
+        u_right=jnp.where(ok, u_right, -1.0),
+        depth=jnp.where(ok, depth, 0.0),
+    )

@@ -44,6 +44,16 @@ class System:
         self._timestamps[frame_id] = timestamp
         return self.tracker.track_monocular(jnp.asarray(img, jnp.float32), frame_id)
 
+    def track_stereo(self, img_left, img_right, timestamp: float):
+        frame_id = self.tracker.n_frames
+        self._timestamps[frame_id] = timestamp
+        return self.tracker.track_stereo(img_left, img_right, frame_id)
+
+    def track_rgbd(self, img, depth, timestamp: float):
+        frame_id = self.tracker.n_frames
+        self._timestamps[frame_id] = timestamp
+        return self.tracker.track_rgbd(img, depth, frame_id)
+
     @property
     def state(self) -> TrackingState:
         return self.tracker.state

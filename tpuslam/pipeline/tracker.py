@@ -61,6 +61,10 @@ class TrackerConfig:
     min_inliers_motion: int = 10   # motion-model acceptance (Tracking.cc:962)
     local_ba_window: int = 8
     init_min_matches: int = 100    # MonocularInitialization (Tracking.cc:606,637)
+    # Stereo/RGB-D: close-point depth threshold factor; th_depth =
+    # th_depth_factor x baseline (ThDepth in the YAMLs, Tracking.cc:144-147).
+    th_depth_factor: float = 40.0
+    depth_map_factor: float = 1.0  # RGB-D depth image scale (DepthMapFactor)
 
 
 class Tracker:
@@ -366,6 +370,10 @@ class Tracker:
             obs = jnp.pad(obs, (0, self.kp_capacity - n), constant_values=-1)
         m, ki = insert_keyframe(self.map, feats, R, t, frame_id, obs)
         ki_int = int(ki)
+        # Stereo/RGB-D: densify with close depth points
+        # (Tracking::CreateNewKeyFrame stereo path, Tracking.cc:1115-1186).
+        if bool(jnp.any(feats.depth > 0)):
+            m = self._add_depth_points(m, ki_int, feats, R, t)
         # Triangulate new points against up to 3 recent keyframes with
         # adequate baseline (LocalMapping::CreateNewMapPoints iterates the
         # best covisible neighbors, LocalMapping.cc:207-244; recency is the
@@ -466,6 +474,142 @@ class Tracker:
             return None
 
         # LOST.
+        if self._relocalize(feats, frame_id):
+            self.state = TrackingState.OK
+            self._record_pose(frame_id, self._last_R, self._last_t)
+            return np.asarray(self._last_R), np.asarray(self._last_t)
+        self._record_pose(frame_id, self._last_R, self._last_t, lost=True)
+        return None
+
+    # ------------------------------------------------- stereo / RGB-D input
+
+    @property
+    def _th_depth(self) -> float:
+        return self.cfg.th_depth_factor * self.cfg.cam.baseline
+
+    def _frame_features_stereo(self, imgL, imgR) -> FrameFeatures:
+        return steps.stereo_frame_features(
+            imgL, imgR, self.cfg.orb, self.cfg.cam.fx, self.cfg.cam.bf
+        )
+
+    def _frame_features_rgbd(self, img, depth_map) -> FrameFeatures:
+        """RGB-D Frame construction (Frame::ComputeStereoFromRGBD,
+        /root/reference/src/Frame.cc:875): look up the depth image at each
+        (distorted) keypoint and synthesize the virtual right coordinate."""
+        feats = self._frame_features(img)
+        c = self.cfg.cam
+        H, W = depth_map.shape
+        # Depth is sampled at the raw (pre-undistortion) detection location;
+        # _frame_features already replaced xy with undistorted coords, so we
+        # re-extract raw coords here.
+        raw = self._extract(img)
+        xs = jnp.clip(jnp.round(raw.xy[:, 0]).astype(jnp.int32), 0, W - 1)
+        ys = jnp.clip(jnp.round(raw.xy[:, 1]).astype(jnp.int32), 0, H - 1)
+        d = depth_map[ys, xs] * self.cfg.depth_map_factor
+        has_d = (d > 0) & feats.valid
+        u_right = jnp.where(has_d, feats.xy[:, 0] - c.bf / jnp.maximum(d, 1e-6), -1.0)
+        return feats._replace(u_right=u_right, depth=jnp.where(has_d, d, 0.0))
+
+    def _initialize_with_depth(self, feats: FrameFeatures, frame_id: int) -> bool:
+        """StereoInitialization (/root/reference/src/Tracking.cc:531): one
+        keyframe at the origin; map points unprojected from every keypoint
+        with valid depth."""
+        # The reference gates on > 500 keypoints with its 1000-feature budget
+        # (Tracking.cc:533); scale the gate to half the configured budget.
+        if int(jnp.sum(feats.valid)) < max(self.cfg.orb.n_features // 2, 50):
+            return False
+        c = self.cfg.cam
+        from tpuslam.geometry.camera import unproject
+
+        has_d = (feats.depth > 0) & feats.valid
+        X = unproject(c, feats.xy, feats.depth)  # camera frame == world
+        n = feats.xy.shape[0]
+        dist = jnp.linalg.norm(X, axis=-1)
+        sf = self.scale_factors[jnp.clip(feats.level, 0, self.cfg.orb.n_levels - 1)]
+        max_d = dist * sf
+        min_d = max_d / self.scale_factors[-1]
+        normal = X / jnp.maximum(jnp.linalg.norm(X, axis=-1, keepdims=True), 1e-9)
+
+        feats_p = self._pad_feats(feats)
+        m = self.map
+        m, slots = insert_points(
+            m, X, feats.desc, 0, has_d, normal, 0.8 * min_d, 1.2 * max_d
+        )
+        obs = jnp.where(has_d, slots, -1).astype(jnp.int32)
+        obs_p = jnp.pad(obs, (0, self.kp_capacity - n), constant_values=-1) if n < self.kp_capacity else obs
+        m, k0 = insert_keyframe(m, feats_p, jnp.eye(3), jnp.zeros(3), frame_id, obs_p)
+        m = update_point_normals(m, self.scale_factors)
+        self.map = m
+
+        self.state = TrackingState.OK
+        self._last_feats = feats
+        self._last_obs = obs
+        self._last_R = jnp.eye(3)
+        self._last_t = jnp.zeros(3)
+        self._velocity = None
+        self._last_kf_idx = 0
+        self._frames_since_kf = 0
+        self._ref_kf_tracked = int(jnp.sum(obs >= 0))
+        self._record_pose(frame_id, self._last_R, self._last_t)
+        return True
+
+    def _add_depth_points(self, m, ki_int, feats_p, R, t):
+        """Stereo/RGB-D keyframe densification (Tracking::CreateNewKeyFrame,
+        /root/reference/src/Tracking.cc:1115): unproject close (depth <
+        th_depth) unmatched keypoints of the new KF into new map points."""
+        from tpuslam.geometry.camera import unproject
+        from tpuslam.geometry.se3 import se3_apply, se3_inverse
+
+        c = self.cfg.cam
+        obs_kf = m.kf_obs_pt[ki_int]
+        free = (obs_kf < 0) & feats_p.valid & (feats_p.depth > 0) & (
+            feats_p.depth < self._th_depth
+        )
+        Xc = unproject(c, feats_p.xy, feats_p.depth)
+        Ri, ti = se3_inverse(R, t)
+        Xw = se3_apply(Ri, ti, Xc)
+        dist = jnp.linalg.norm(Xc, axis=-1)
+        sf = self.scale_factors[jnp.clip(feats_p.level, 0, self.cfg.orb.n_levels - 1)]
+        max_d = dist * sf
+        min_d = max_d / self.scale_factors[-1]
+        C = -(R.T @ t)
+        vecs = Xw - C
+        normal = vecs / jnp.maximum(jnp.linalg.norm(vecs, axis=-1, keepdims=True), 1e-9)
+        m, slots = insert_points(
+            m, Xw, feats_p.desc, ki_int, free, normal, 0.8 * min_d, 1.2 * max_d
+        )
+        created = free & (slots >= 0)
+        new_obs = jnp.where(created, slots, obs_kf)
+        return m._replace(kf_obs_pt=m.kf_obs_pt.at[ki_int].set(new_obs))
+
+    def track_stereo(self, img_left: jnp.ndarray, img_right: jnp.ndarray, frame_id: int):
+        """Process one rectified stereo pair; returns T_cw (R, t) or None
+        (System::TrackStereo, /root/reference/src/System.cc:126)."""
+        feats = self._frame_features_stereo(
+            jnp.asarray(img_left, jnp.float32), jnp.asarray(img_right, jnp.float32)
+        )
+        return self._track_with_depth(feats, frame_id)
+
+    def track_rgbd(self, img: jnp.ndarray, depth_map: jnp.ndarray, frame_id: int):
+        """Process one RGB-D frame (System::TrackRGBD, System.cc:177)."""
+        feats = self._frame_features_rgbd(
+            jnp.asarray(img, jnp.float32), jnp.asarray(depth_map, jnp.float32)
+        )
+        return self._track_with_depth(feats, frame_id)
+
+    def _track_with_depth(self, feats: FrameFeatures, frame_id: int):
+        self.n_frames += 1
+        if self.state in (TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED):
+            self.state = TrackingState.NOT_INITIALIZED
+            if self._initialize_with_depth(feats, frame_id):
+                return np.asarray(self._last_R), np.asarray(self._last_t)
+            return None
+        if self.state == TrackingState.OK:
+            if self._track_frame(feats, frame_id):
+                return np.asarray(self._last_R), np.asarray(self._last_t)
+            self.state = TrackingState.LOST
+            self._record_pose(frame_id, self._last_R, self._last_t, lost=True)
+            return None
         if self._relocalize(feats, frame_id):
             self.state = TrackingState.OK
             self._record_pose(frame_id, self._last_R, self._last_t)
