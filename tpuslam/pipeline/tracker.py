@@ -530,6 +530,12 @@ class Tracker:
         min_d = max_d / self.scale_factors[-1]
         normal = X / jnp.maximum(jnp.linalg.norm(X, axis=-1, keepdims=True), 1e-9)
 
+        # Improvement over the reference (which only gates on keypoint
+        # count): refuse to bootstrap from a frame with too few valid
+        # depths — otherwise an empty map enters the OK state.
+        if int(jnp.sum(has_d)) < 50:
+            return False
+
         feats_p = self._pad_feats(feats)
         m = self.map
         m, slots = insert_points(
