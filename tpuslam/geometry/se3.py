@@ -76,16 +76,22 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
         axis=-1,
     )
     # atan2 form is well-conditioned everywhere except theta ~ pi (handled
-    # below); arccos of the trace loses ~3 digits in float32.
-    sin_theta = 0.5 * jnp.linalg.norm(v, axis=-1)
+    # below); arccos of the trace loses ~3 digits in float32. The sqrt in
+    # |v| is guarded BEFORE evaluation so gradients at the identity stay
+    # finite (jnp.where does not block NaN grads of the untaken branch).
+    vv = jnp.sum(v * v, axis=-1)
+    near_zero = vv < 1e-10
+    safe_vv = jnp.where(near_zero, 1.0, vv)
+    sin_theta = 0.5 * jnp.sqrt(safe_vv)
     cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
     theta = jnp.arctan2(sin_theta, cos_theta)
-    near_zero = theta < 1e-5
-    near_pi = jnp.pi - theta < 1e-4
+    near_pi = (jnp.pi - theta < 1e-4) & ~near_zero
 
-    # Generic: w = theta / (2 sin theta) * v ; near zero: w = v / 2.
+    # Generic: w = theta / (2 sin theta) * v. Near zero: |v| ~ 2 theta, so
+    # theta^2 ~ vv/4 and w = (0.5 + theta^2/12) v = (0.5 + vv/48) v — a
+    # polynomial in v with well-defined derivatives at v = 0.
     safe_sin = jnp.where(near_zero | near_pi, 1.0, sin_theta)
-    scale = jnp.where(near_zero, 0.5 + theta * theta / 12.0, theta / (2.0 * safe_sin))
+    scale = jnp.where(near_zero, 0.5 + vv / 48.0, theta / (2.0 * safe_sin))
     w_generic = scale[..., None] * v
 
     # Near pi: axis from the largest diagonal of (R + I) / 2 = aa^T approx.

@@ -1,0 +1,317 @@
+"""Loop closing: BoW detection, consistency chains, Sim3, loop correction.
+
+Host-side orchestrator mirroring the reference's LoopClosing thread
+(/root/reference/src/LoopClosing.cc) over the SoA map:
+
+- DetectLoop (:103): BoW query gated by the min covisible score, candidate
+  covisibility-consistency chained over 3 consecutive keyframes (:43,
+  152-211);
+- ComputeSim3 (:231): descriptor matching between the two keyframes' map
+  points, vmapped Horn Sim3 RANSAC (Sim3Solver), scale fixed for
+  stereo/RGB-D;
+- CorrectLoop (:402): Sim3 correction propagated to the current KF's
+  covisible neighborhood and their points, essential-graph optimization
+  over spanning + strong-covisibility + loop edges (Optimizer.cc:781),
+  point correction through reference keyframes, then full BA (the
+  reference's asynchronous GBA, run synchronously here).
+
+The vocabulary is trained lazily from the map's own descriptors once
+enough keyframes exist (the reference loads a pre-trained vocabulary that
+is unavailable and pattern-incompatible — SURVEY.md preamble).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuslam.geometry.se3 import se3_apply, se3_compose, se3_inverse
+from tpuslam.geometry.sim3 import sim3_apply, sim3_compose, sim3_inverse
+from tpuslam.mapstate.core import MapState, covisibility_weights
+from tpuslam.matching.search import match_nn_ratio
+from tpuslam.optim.pose_graph import Sim3Edges, make_relative, optimize_pose_graph
+from tpuslam.place.database import KeyFrameDatabase, l1_score
+from tpuslam.place.vocabulary import Vocabulary, bow_vector, train_vocabulary
+from tpuslam.sfm.sim3solver import sim3_ransac
+
+COVIS_CONSISTENCY_TH = 3   # LoopClosing.cc:43
+MIN_KF_GAP = 10            # :114 — at least 10 KFs since last loop
+STRONG_COVIS = 100         # essential-graph covisibility threshold (:806)
+
+
+class LoopCloser:
+    def __init__(
+        self,
+        max_keyframes: int,
+        fix_scale: bool,
+        voc: Optional[Vocabulary] = None,
+        voc_k: int = 8,
+        voc_levels: int = 3,
+        min_sim3_inliers: int = 20,
+    ):
+        self.voc = voc
+        self.voc_k = voc_k
+        self.voc_levels = voc_levels
+        self.db: Optional[KeyFrameDatabase] = None
+        self.max_keyframes = max_keyframes
+        self.fix_scale = fix_scale
+        self.min_sim3_inliers = min_sim3_inliers
+        self._bow = {}
+        self._consistent_groups = []  # list[(set(kf_ids), count)]
+        self._last_loop_kf = -1
+        self._key = jax.random.PRNGKey(42)
+        self.n_loops_closed = 0
+
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    def _ensure_vocabulary(self, m: MapState):
+        if self.voc is not None:
+            return True
+        # Train once enough descriptors are in the map (>= 3 KFs).
+        n_kf = int(m.n_kf)
+        if n_kf < 3:
+            return False
+        descs = []
+        for k in range(n_kf):
+            v = np.asarray(m.kf_kp_valid[k])
+            descs.append(np.asarray(m.kf_kp_desc[k])[v])
+        corpus = np.concatenate(descs, axis=0)
+        if len(corpus) < 500:
+            return False
+        self.voc = train_vocabulary(
+            corpus[:6000], k=self.voc_k, levels=self.voc_levels, seed=7
+        )
+        return True
+
+    def _kf_bow(self, m: MapState, k: int):
+        if k not in self._bow:
+            self._bow[k] = bow_vector(self.voc, m.kf_kp_desc[k], m.kf_kp_valid[k])
+        return self._bow[k]
+
+    # -------------------------------------------------------------- detection
+
+    def _detect(self, m: MapState, kf: int, covis: jnp.ndarray):
+        """Returns a loop-candidate KF index or None."""
+        if self.db is None:
+            self.db = KeyFrameDatabase(self.voc.n_words, self.max_keyframes)
+        v = self._kf_bow(m, kf)
+
+        if kf - max(self._last_loop_kf, 0) < MIN_KF_GAP or kf < MIN_KF_GAP:
+            self.db.add(kf, v)
+            self._consistent_groups = []
+            return None
+
+        covis_np = np.asarray(covis[kf])
+        neighbors = np.nonzero(covis_np >= 15)[0]
+        # minScore: lowest BoW similarity among covisible KFs (:124-138).
+        min_score = 1.0
+        for nb in neighbors:
+            if nb in self._bow:
+                min_score = min(min_score, float(l1_score(v, self._bow[nb])))
+
+        exclude = np.zeros(self.max_keyframes, bool)
+        exclude[kf] = True
+        exclude[neighbors] = True
+        # Also exclude recent KFs (temporal neighbors).
+        exclude[max(0, kf - MIN_KF_GAP) : kf + 1] = True
+        idx, ok = self.db.query(
+            v, jnp.asarray(exclude), covis, min_score=min_score, max_candidates=6
+        )
+        idx = np.asarray(idx)
+        ok = np.asarray(ok)
+        cands = [int(i) for i, o in zip(idx, ok) if o]
+
+        self.db.add(kf, v)
+        if not cands:
+            self._consistent_groups = []
+            return None
+
+        # Covisibility-consistency chaining (:152-211).
+        new_groups = []
+        enough = None
+        for c in cands:
+            group = {c} | set(np.nonzero(np.asarray(covis[c]) >= 15)[0].tolist())
+            count = 0
+            for prev_group, prev_count in self._consistent_groups:
+                if group & prev_group:
+                    count = max(count, prev_count + 1)
+            new_groups.append((group, count))
+            if count >= COVIS_CONSISTENCY_TH - 1 and enough is None:
+                enough = c
+        self._consistent_groups = new_groups
+        return enough
+
+    # ------------------------------------------------------------------ sim3
+
+    def _compute_sim3(self, m: MapState, cam, kf_cur: int, kf_loop: int):
+        """Descriptor-match the two KFs' map points, run Sim3 RANSAC.
+        Returns (s, R, t) mapping loop-KF camera coords -> current-KF camera
+        coords, or None."""
+        N = m.kf_obs_pt.shape[1]
+        obs_c = m.kf_obs_pt[kf_cur]
+        obs_l = m.kf_obs_pt[kf_loop]
+        has_c = (obs_c >= 0) & m.kf_kp_valid[kf_cur] & m.pt_valid[jnp.maximum(obs_c, 0)]
+        has_l = (obs_l >= 0) & m.kf_kp_valid[kf_loop] & m.pt_valid[jnp.maximum(obs_l, 0)]
+        pair = has_c[:, None] & has_l[None, :]
+        idx, dist, ok = match_nn_ratio(
+            m.kf_kp_desc[kf_cur], m.kf_kp_desc[kf_loop], pair, max_dist=50, nn_ratio=0.75
+        )
+        if int(jnp.sum(ok)) < self.min_sim3_inliers:
+            return None
+        # Camera-frame coordinates of the matched points in each KF.
+        Xw_c = m.pt_xyz[jnp.maximum(obs_c, 0)]
+        Xw_l = m.pt_xyz[jnp.maximum(obs_l[idx], 0)]
+        X2 = se3_apply(m.kf_R[kf_cur], m.kf_t[kf_cur], Xw_c)    # current
+        X1 = se3_apply(m.kf_R[kf_loop], m.kf_t[kf_loop], Xw_l)  # loop
+        uv2 = m.kf_kp_xy[kf_cur]
+        uv1 = m.kf_kp_xy[kf_loop][idx]
+        lvl2 = m.kf_kp_level[kf_cur]
+        lvl1 = m.kf_kp_level[kf_loop][idx]
+        sigma2_2 = 1.2 ** (2.0 * lvl2.astype(jnp.float32))
+        sigma2_1 = 1.2 ** (2.0 * lvl1.astype(jnp.float32))
+        res = sim3_ransac(
+            self._next_key(),
+            cam.K,
+            X1,
+            X2,
+            uv1,
+            uv2,
+            9.21 * sigma2_1,
+            9.21 * sigma2_2,
+            ok,
+            fix_scale=self.fix_scale,
+            min_inliers=self.min_sim3_inliers,
+        )
+        if not bool(res.success):
+            return None
+        return res.s, res.R, res.t
+
+    # ------------------------------------------------------------ correction
+
+    def _correct(self, m: MapState, cam, kf_cur: int, kf_loop: int, s21, R21, t21,
+                 covis: jnp.ndarray, ba_fn=None):
+        """CorrectLoop (:402) + OptimizeEssentialGraph + point correction."""
+        K = m.capacity_kf
+        n_kf = int(m.n_kf)
+        ones = jnp.ones(())
+
+        # Current KF's corrected pose: S_cw = S21 * T_loop,w.
+        s_corr, R_corr, t_corr = sim3_compose(
+            s21, R21, t21, jnp.asarray(1.0), m.kf_R[kf_loop], m.kf_t[kf_loop]
+        )
+
+        # Old poses as Sim3 (s=1).
+        s_old = jnp.ones((K,))
+        R_old = m.kf_R
+        t_old = m.kf_t
+
+        # Propagate the correction to the current KF's covisible group
+        # (:447-516): S_kw_corr = (T_k T_cur^-1) * S_cw_corr.
+        group = set(np.nonzero(np.asarray(covis[kf_cur]) >= 15)[0].tolist()) | {kf_cur}
+        group = {g for g in group if g < n_kf}
+        s_init = s_old
+        R_init = R_old
+        t_init = t_old
+        Tc_inv = se3_inverse(m.kf_R[kf_cur], m.kf_t[kf_cur])
+        for g in sorted(group):
+            Rrel, trel = se3_compose(m.kf_R[g], m.kf_t[g], *Tc_inv)
+            sg, Rg, tg = sim3_compose(
+                jnp.asarray(1.0), Rrel, trel, s_corr, R_corr, t_corr
+            )
+            s_init = s_init.at[g].set(sg)
+            R_init = R_init.at[g].set(Rg)
+            t_init = t_init.at[g].set(tg)
+
+        # Essential-graph edges from PRE-correction poses: spanning tree
+        # (sequential parent), strong covisibility, plus the loop edge with
+        # the measured constraint.
+        ei, ej, ms, mR, mt, wgt = [], [], [], [], [], []
+        covis_np = np.asarray(covis)
+        for k in range(1, n_kf):
+            ei.append(k - 1)
+            ej.append(k)
+            sr, Rr, tr = make_relative(
+                s_old[k - 1], R_old[k - 1], t_old[k - 1], s_old[k], R_old[k], t_old[k]
+            )
+            ms.append(sr)
+            mR.append(Rr)
+            mt.append(tr)
+            wgt.append(1.0)
+        for a in range(n_kf):
+            for b in range(a + 2, n_kf):
+                if covis_np[a, b] >= STRONG_COVIS:
+                    ei.append(a)
+                    ej.append(b)
+                    sr, Rr, tr = make_relative(
+                        s_old[a], R_old[a], t_old[a], s_old[b], R_old[b], t_old[b]
+                    )
+                    ms.append(sr)
+                    mR.append(Rr)
+                    mt.append(tr)
+                    wgt.append(1.0)
+        # Loop edge: measured S_cur,loop (current = S21 * loop).
+        ei.append(kf_loop)
+        ej.append(kf_cur)
+        ms.append(s21)
+        mR.append(R21)
+        mt.append(t21)
+        wgt.append(1.0)
+
+        edges = Sim3Edges(
+            i=jnp.asarray(np.array(ei, np.int32)),
+            j=jnp.asarray(np.array(ej, np.int32)),
+            meas_s=jnp.stack([jnp.asarray(x) for x in ms]),
+            meas_R=jnp.stack(mR),
+            meas_t=jnp.stack(mt),
+            valid=jnp.ones(len(ei), bool),
+            weight=jnp.asarray(np.array(wgt, np.float32)),
+        )
+        node_valid = m.kf_valid
+        node_fixed = jnp.zeros((K,), bool).at[kf_loop].set(True)
+        s_new, R_new, t_new, errs = optimize_pose_graph(
+            s_init, R_init, t_init, node_valid, node_fixed, edges,
+            iters=15, fix_scale=self.fix_scale,
+        )
+
+        # Point correction through each point's reference KF (:989-1043):
+        # X' = S_new_ref^-1 ( S_old_ref (X) ).
+        ref = jnp.clip(m.pt_ref_kf, 0, K - 1)
+        so, Ro, to = s_old[ref], R_old[ref], t_old[ref]
+        Xc = sim3_apply(so, Ro, to, m.pt_xyz)
+        sni, Rni, tni = sim3_inverse(s_new[ref], R_new[ref], t_new[ref])
+        X_corr = sim3_apply(sni, Rni, tni, Xc)
+        pt_xyz = jnp.where(m.pt_valid[:, None], X_corr, m.pt_xyz)
+
+        # SE3 recovery: R stays, t divided by s (Optimizer.cc:1000-1015).
+        t_se3 = t_new / jnp.maximum(s_new, 1e-9)[:, None]
+        m = m._replace(kf_R=R_new, kf_t=t_se3, pt_xyz=pt_xyz)
+
+        # Full BA (the reference's post-loop global BA, :645).
+        if ba_fn is not None:
+            m = ba_fn(m)
+        self._last_loop_kf = kf_cur
+        self.n_loops_closed += 1
+        return m
+
+    # --------------------------------------------------------------- public
+
+    def on_keyframe(self, m: MapState, cam, kf_cur: int, ba_fn=None):
+        """Run detection + closure for a newly inserted keyframe.
+        Returns (map, closed: bool)."""
+        if not self._ensure_vocabulary(m):
+            return m, False
+        covis = covisibility_weights(m)
+        cand = self._detect(m, kf_cur, covis)
+        if cand is None:
+            return m, False
+        sim3 = self._compute_sim3(m, cam, kf_cur, cand)
+        if sim3 is None:
+            return m, False
+        s21, R21, t21 = sim3
+        m = self._correct(m, cam, kf_cur, cand, s21, R21, t21, covis, ba_fn=ba_fn)
+        return m, True

@@ -65,6 +65,7 @@ class TrackerConfig:
     # th_depth_factor x baseline (ThDepth in the YAMLs, Tracking.cc:144-147).
     th_depth_factor: float = 40.0
     depth_map_factor: float = 1.0  # RGB-D depth image scale (DepthMapFactor)
+    enable_loop_closing: bool = True
 
 
 class Tracker:
@@ -102,6 +103,13 @@ class Tracker:
         self._last_kf_idx = -1
         self._ref_kf_tracked = 0
         self._key = jax.random.PRNGKey(0)
+        # Loop closing (scale fixed once depth-based init is used).
+        self._depth_mode = False
+        self.loop_closer = None
+        if config.enable_loop_closing:
+            from tpuslam.pipeline.loop_closing import LoopCloser
+
+            self.loop_closer = LoopCloser(config.max_keyframes, fix_scale=False)
         # Trajectory: frame_id -> (ref_kf, R_rel, t_rel, lost_flag); poses are
         # recovered at export against optimized KF poses, mirroring
         # System::SaveTrajectoryTUM (/root/reference/src/System.cc:337-396).
@@ -406,6 +414,17 @@ class Tracker:
         )
         m = update_point_normals(m, self.scale_factors)
         self.map = m
+        # Loop closing on the fresh keyframe (the reference's LoopClosing
+        # thread hand-off, LocalMapping.cc:87).
+        if self.loop_closer is not None:
+            self.loop_closer.fix_scale = self._depth_mode
+            m2, closed = self.loop_closer.on_keyframe(
+                self.map, cfg.cam, ki_int,
+                ba_fn=lambda mm: self._global_ba(mm, iters=10),
+            )
+            if closed:
+                self.map = update_point_normals(m2, self.scale_factors)
+                m = self.map
         self._last_kf_idx = ki_int
         self._frames_since_kf = 0
         self._ref_kf_tracked = int(jnp.sum(self.map.kf_obs_pt[ki_int] >= 0))
@@ -546,6 +565,7 @@ class Tracker:
         m, k0 = insert_keyframe(m, feats_p, jnp.eye(3), jnp.zeros(3), frame_id, obs_p)
         m = update_point_normals(m, self.scale_factors)
         self.map = m
+        self._depth_mode = True
 
         self.state = TrackingState.OK
         self._last_feats = feats

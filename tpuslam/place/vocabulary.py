@@ -1,0 +1,168 @@
+"""Hierarchical binary vocabulary: k-majority tree, batched transform.
+
+Array re-design of DBoW2's TemplatedVocabulary
+(/root/reference/Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h): the k-branch
+L-level tree over 256-bit descriptors is stored as one center table per
+level (level l holds k^(l+1) centers, children of node n at contiguous ids
+n*k..n*k+k-1), so transform() — the greedy nearest-child descent of
+TemplatedVocabulary.h:1218-1259 — becomes L batched Hamming argmins over
+all query descriptors at once. Cluster centers are bitwise majority votes
+(FORB::meanValue, /root/reference/Thirdparty/DBoW2/DBoW2/FORB.cpp:40-77)
+and training is k-majority (binary k-means) per node, vectorized over all
+nodes of a level simultaneously.
+
+Words are weighted by IDF over the training corpus (TemplatedVocabulary's
+TF_IDF default, :1082-1103); BoW vectors are L1-normalized dense arrays.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class Vocabulary(NamedTuple):
+    """centers[l]: (k^(l+1), 8) uint32 for level l; word_weight: (k^L,)."""
+
+    centers: tuple           # tuple of jnp arrays, one per level
+    word_weight: jnp.ndarray # (W,) float32 IDF weights
+    k: int
+    levels: int
+
+    @property
+    def n_words(self) -> int:
+        return self.k**self.levels
+
+    def save(self, path: str):
+        data = {f"centers_{i}": np.asarray(c) for i, c in enumerate(self.centers)}
+        data["word_weight"] = np.asarray(self.word_weight)
+        data["k"] = self.k
+        data["levels"] = self.levels
+        np.savez_compressed(path, **data)
+
+    @staticmethod
+    def load(path: str) -> "Vocabulary":
+        z = np.load(path)
+        levels = int(z["levels"])
+        return Vocabulary(
+            centers=tuple(jnp.asarray(z[f"centers_{i}"]) for i in range(levels)),
+            word_weight=jnp.asarray(z["word_weight"]),
+            k=int(z["k"]),
+            levels=levels,
+        )
+
+
+def _popcount_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(Na, 8) x (Nb, 8) uint32 -> (Na, Nb) int Hamming, numpy (training)."""
+    x = a[:, None, :] ^ b[None, :, :]
+    return np.unpackbits(x.view(np.uint8), axis=-1).sum(axis=-1)
+
+
+def _majority_center(desc: np.ndarray) -> np.ndarray:
+    """Bitwise majority of (N, 8) uint32 descriptors (FORB::meanValue)."""
+    if len(desc) == 0:
+        return np.zeros(8, np.uint32)
+    bits = np.unpackbits(desc.view(np.uint8), axis=-1)  # (N, 256)
+    maj = (bits.sum(axis=0) * 2 >= len(desc)).astype(np.uint8)
+    return np.packbits(maj).view(np.uint32)
+
+
+def train_vocabulary(
+    descriptors: np.ndarray,
+    k: int = 10,
+    levels: int = 4,
+    iters: int = 8,
+    seed: int = 0,
+) -> Vocabulary:
+    """Train a k^levels-word vocabulary with per-node k-majority clustering.
+
+    descriptors: (N, 8) uint32. Node order follows the contiguous-children
+    layout; empty nodes inherit their parent's center so descent stays
+    well-defined.
+    """
+    rng = np.random.default_rng(seed)
+    desc = np.asarray(descriptors, np.uint32)
+    assignments = np.zeros(len(desc), np.int64)  # node id at current level
+    centers_per_level = []
+
+    for lvl in range(levels):
+        n_parents = k**lvl
+        n_nodes = k ** (lvl + 1)
+        centers = np.zeros((n_nodes, 8), np.uint32)
+        new_assign = np.zeros_like(assignments)
+        for p in range(n_parents):
+            sel = np.nonzero(assignments == p)[0]
+            if len(sel) == 0:
+                # Empty subtree: copy parent's center into all children.
+                parent_center = (
+                    centers_per_level[lvl - 1][p] if lvl > 0 else np.zeros(8, np.uint32)
+                )
+                centers[p * k : (p + 1) * k] = parent_center
+                continue
+            d = desc[sel]
+            # Init: k distinct random picks (k-majority / binary k-means).
+            n_init = min(k, len(d))
+            picks = rng.choice(len(d), n_init, replace=False)
+            c = d[picks].copy()
+            for _ in range(iters):
+                dist = _popcount_matrix(d, c)
+                a = dist.argmin(axis=1)
+                newc = np.stack([_majority_center(d[a == j]) if np.any(a == j) else c[j] for j in range(n_init)])
+                if np.array_equal(newc, c):
+                    break
+                c = newc
+            full = np.zeros((k, 8), np.uint32)
+            full[:n_init] = c
+            if n_init < k:
+                full[n_init:] = c[0]
+            centers[p * k : (p + 1) * k] = full
+            dist = _popcount_matrix(d, full)
+            new_assign[sel] = p * k + dist.argmin(axis=1)
+        centers_per_level.append(centers)
+        assignments = new_assign
+
+    # IDF weights over the training corpus treated as one document set: the
+    # reference computes IDF from per-image occurrence; with a flat corpus we
+    # use the standard smoothed IDF over descriptor counts.
+    W = k**levels
+    counts = np.bincount(assignments, minlength=W).astype(np.float64)
+    idf = np.log(len(desc) / np.maximum(counts, 1.0))
+    idf[counts == 0] = 0.0
+    return Vocabulary(
+        centers=tuple(jnp.asarray(c) for c in centers_per_level),
+        word_weight=jnp.asarray(idf.astype(np.float32)),
+        k=k,
+        levels=levels,
+    )
+
+
+def transform_words(voc: Vocabulary, desc: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Descriptors (N, 8) -> word ids (N,) int32 (-1 for invalid rows).
+
+    Greedy nearest-child descent, batched over all descriptors: at level l,
+    each descriptor compares against its current node's k children with one
+    gathered Hamming reduction.
+    """
+    n = desc.shape[0]
+    node = jnp.zeros((n,), jnp.int32)
+    for lvl in range(voc.levels):
+        child_ids = node[:, None] * voc.k + jnp.arange(voc.k, dtype=jnp.int32)[None, :]
+        cent = voc.centers[lvl][child_ids]  # (N, k, 8)
+        d = jnp.sum(
+            jax.lax.population_count(jnp.bitwise_xor(cent, desc[:, None, :])), axis=-1
+        )
+        node = child_ids[jnp.arange(n), jnp.argmin(d, axis=1)]
+    return jnp.where(valid, node, -1)
+
+
+def bow_vector(voc: Vocabulary, desc: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Dense L1-normalized TF-IDF BoW vector (W,) for one descriptor set."""
+    words = transform_words(voc, desc, valid)
+    W = voc.n_words
+    safe = jnp.where(words >= 0, words, W)
+    v = jnp.zeros((W + 1,)).at[safe].add(jnp.where(valid, 1.0, 0.0))[:W]
+    v = v * voc.word_weight
+    return v / jnp.maximum(jnp.sum(jnp.abs(v)), 1e-9)
