@@ -253,6 +253,122 @@ def _select_level_keypoints(
     )
 
 
+_PATCH = 47          # raw patch: covers IC radius 15 + BRIEF radius 18.4 + blur 3
+_PAD = 8             # image edge-padding so patches never clamp
+_BLUR_PATCH = 41     # blurred interior of the raw patch
+_CENTER_RAW = 23     # keypoint position inside the raw patch
+_CENTER_BLUR = 20    # keypoint position inside the blurred patch
+
+
+def _ic_masks():
+    """Static circular first-moment masks centered at _CENTER_RAW."""
+    r = HALF_PATCH
+    dy, dx = np.mgrid[-r : r + 1, -r : r + 1]
+    umax = np.round(np.sqrt(np.maximum(r * r - dy * dy, 0.0)))
+    mask = (np.abs(dx) <= umax).astype(np.float32)
+    m10 = np.zeros((_PATCH, _PATCH), np.float32)
+    m01 = np.zeros((_PATCH, _PATCH), np.float32)
+    c = _CENTER_RAW
+    m10[c - r : c + r + 1, c - r : c + r + 1] = dx * mask
+    m01[c - r : c + r + 1, c - r : c + r + 1] = dy * mask
+    return jnp.asarray(m10), jnp.asarray(m01)
+
+
+_M10, _M01 = _ic_masks()
+
+
+def _blur_patches(p: jnp.ndarray) -> jnp.ndarray:
+    """Batched 7x7 sigma-2 Gaussian on (N, 47, 47) -> (N, 41, 41) valid part."""
+    from tpuslam.ops.image import _gaussian_kernel_1d
+
+    k = _gaussian_kernel_1d(7, 2.0)
+    acc = jnp.zeros((p.shape[0], _PATCH, _BLUR_PATCH), p.dtype)
+    for i in range(7):
+        acc = acc + k[i] * p[:, :, i : i + _BLUR_PATCH]
+    out = jnp.zeros((p.shape[0], _BLUR_PATCH, _BLUR_PATCH), p.dtype)
+    for i in range(7):
+        out = out + k[i] * acc[:, i : i + _BLUR_PATCH, :]
+    return out
+
+
+def _orient_and_describe_at(atlas: jnp.ndarray, corner: jnp.ndarray):
+    """Batched orientation + descriptor from pre-padded atlas patch corners.
+
+    corner: (N, 2) int32 (row, col) of each keypoint's 47x47 patch origin;
+    the keypoint sits at the static patch center. See _orient_and_describe
+    for the algorithm; this variant skips all per-call padding/clipping.
+    """
+    n = corner.shape[0]
+    praw = jax.vmap(
+        lambda c: jax.lax.dynamic_slice(atlas, (c[0], c[1]), (_PATCH, _PATCH))
+    )(corner)
+    m10 = jnp.sum(praw * _M10[None], axis=(1, 2))
+    m01 = jnp.sum(praw * _M01[None], axis=(1, 2))
+    angle = jnp.arctan2(m01, m10)
+
+    pblur = _blur_patches(praw)
+    pat = jnp.asarray(BRIEF_PATTERN, dtype=jnp.float32)
+    ca, sa = jnp.cos(angle), jnp.sin(angle)
+    px = pat[None, :, :, 0]
+    py = pat[None, :, :, 1]
+    cols = jnp.round(px * ca[:, None, None] - py * sa[:, None, None]).astype(jnp.int32)
+    rows = jnp.round(px * sa[:, None, None] + py * ca[:, None, None]).astype(jnp.int32)
+    idx = (rows + _CENTER_BLUR) * _BLUR_PATCH + (cols + _CENTER_BLUR)
+    vals = jnp.take_along_axis(
+        pblur.reshape(n, -1), idx.reshape(n, 2 * _N_PAIRS), axis=1
+    ).reshape(n, _N_PAIRS, 2)
+    bits = (vals[:, :, 0] < vals[:, :, 1]).astype(jnp.uint32).reshape(n, 8, 32)
+    desc = jnp.sum(
+        bits << jnp.arange(32, dtype=jnp.uint32)[None, None, :], axis=-1, dtype=jnp.uint32
+    )
+    return angle, desc
+
+
+def _orient_and_describe(img: jnp.ndarray, xy: jnp.ndarray):
+    """Fused per-level orientation + descriptor from one patch gather.
+
+    Extracts a single 47x47 patch per keypoint from the edge-padded level
+    image (edge padding reproduces the coordinate clamping of the previous
+    per-sample gathers), computes the intensity-centroid angle with static
+    circular masks (IC_Angle, ORBextractor.cc:84), Gaussian-blurs the patch
+    batch (the reference blurs the whole level, ORBextractor.cc:1300 —
+    per-patch blur is numerically identical on the interior), and samples
+    the steered BRIEF pairs with an in-patch take_along_axis. This replaces
+    ~1.5k scalar gathers per keypoint with one contiguous slice — the TPU
+    fast path.
+
+    Returns (angle (N,), desc (N, 8) uint32).
+    """
+    H, W = img.shape
+    imgp = jnp.pad(img, _PAD, mode="edge")
+    n = xy.shape[0]
+    corner_y = jnp.clip(xy[:, 1] + _PAD - _CENTER_RAW, 0, H + 2 * _PAD - _PATCH)
+    corner_x = jnp.clip(xy[:, 0] + _PAD - _CENTER_RAW, 0, W + 2 * _PAD - _PATCH)
+    praw = jax.vmap(
+        lambda y, x: jax.lax.dynamic_slice(imgp, (y, x), (_PATCH, _PATCH))
+    )(corner_y, corner_x)
+
+    m10 = jnp.sum(praw * _M10[None], axis=(1, 2))
+    m01 = jnp.sum(praw * _M01[None], axis=(1, 2))
+    angle = jnp.arctan2(m01, m10)
+
+    pblur = _blur_patches(praw)
+    pat = jnp.asarray(BRIEF_PATTERN, dtype=jnp.float32)
+    ca, sa = jnp.cos(angle), jnp.sin(angle)
+    px = pat[None, :, :, 0]
+    py = pat[None, :, :, 1]
+    cols = jnp.round(px * ca[:, None, None] - py * sa[:, None, None]).astype(jnp.int32)
+    rows = jnp.round(px * sa[:, None, None] + py * ca[:, None, None]).astype(jnp.int32)
+    idx = (rows + _CENTER_BLUR) * _BLUR_PATCH + (cols + _CENTER_BLUR)
+    vals = jnp.take_along_axis(
+        pblur.reshape(n, -1), idx.reshape(n, 2 * _N_PAIRS), axis=1
+    ).reshape(n, _N_PAIRS, 2)
+    bits = (vals[:, :, 0] < vals[:, :, 1]).astype(jnp.uint32).reshape(n, 8, 32)
+    desc = jnp.sum(bits << jnp.arange(32, dtype=jnp.uint32)[None, None, :], axis=-1,
+                   dtype=jnp.uint32)
+    return angle, desc
+
+
 def _ic_angle(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     """Intensity-centroid orientation (IC_Angle, ORBextractor.cc:84-128).
 
@@ -313,44 +429,51 @@ def extract_orb(img: jnp.ndarray, config: ORBConfig) -> ORBFeatures:
 
     Equivalent of ORBextractor::operator()
     (/root/reference/src/ORBextractor.cc:1248): pyramid, per-level FAST +
-    uniform selection + orientation, blur + descriptors, rescale to level 0.
-    Output arrays have capacity config.n_features with a validity mask.
+    uniform selection, then ONE fused orientation+descriptor pass over all
+    levels — the per-level edge-padded images are stacked into a single
+    atlas so the patch gather, moments, blur, and BRIEF sampling run as one
+    batch of config.n_features keypoints. Output arrays have capacity
+    config.n_features with a validity mask; coordinates are level-0.
     """
     levels = build_pyramid(img, config.n_levels, config.scale_factor)
     budgets = config.level_budgets()
     scales = config.level_scales()
 
-    parts = []
+    xs, resps, valids, lvls, corners = [], [], [], [], []
+    atlas_rows = []
+    row_off = 0
+    W_atlas = levels[0].shape[1] + 2 * _PAD
     for l, (lvl_img, n_l) in enumerate(zip(levels, budgets)):
         if n_l <= 0:
             continue
         score = _nms3(fast_response(lvl_img, config.min_th_fast))
-        n_cand = min(
-            max(4 * n_l, 256), score.shape[0] * score.shape[1]
-        )
+        n_cand = min(max(4 * n_l, 256), score.shape[0] * score.shape[1])
         xy, resp, valid = _select_level_keypoints(
             score, n_l, n_cand, config.cell_size, config.ini_th_fast
         )
-        angle = _ic_angle(lvl_img, xy)
-        blurred = gaussian_blur(lvl_img, 7, 2.0)
-        desc = _brief_descriptors(blurred, xy, angle)
-        xy0 = xy.astype(jnp.float32) * scales[l]
-        parts.append(
-            ORBFeatures(
-                xy=xy0,
-                response=resp,
-                angle=angle,
-                level=jnp.full((n_l,), l, dtype=jnp.int32),
-                desc=desc,
-                valid=valid,
-            )
-        )
+        # Edge-padded level block appended to the atlas; detection-border
+        # margins guarantee every 47x47 patch stays inside its own block.
+        blk = jnp.pad(lvl_img, _PAD, mode="edge")
+        blk = jnp.pad(blk, ((0, 0), (0, W_atlas - blk.shape[1])))
+        atlas_rows.append(blk)
+        cy = jnp.clip(xy[:, 1] + _PAD - _CENTER_RAW + row_off, 0, None)
+        cx = jnp.clip(xy[:, 0] + _PAD - _CENTER_RAW, 0, None)
+        corners.append(jnp.stack([cy, cx], axis=-1))
+        row_off += blk.shape[0]
+        xs.append(xy.astype(jnp.float32) * scales[l])
+        resps.append(resp)
+        valids.append(valid)
+        lvls.append(jnp.full((n_l,), l, dtype=jnp.int32))
+
+    atlas = jnp.concatenate(atlas_rows, axis=0)
+    corner = jnp.concatenate(corners, axis=0)
+    angle, desc = _orient_and_describe_at(atlas, corner)
 
     return ORBFeatures(
-        xy=jnp.concatenate([p.xy for p in parts], axis=0),
-        response=jnp.concatenate([p.response for p in parts], axis=0),
-        angle=jnp.concatenate([p.angle for p in parts], axis=0),
-        level=jnp.concatenate([p.level for p in parts], axis=0),
-        desc=jnp.concatenate([p.desc for p in parts], axis=0),
-        valid=jnp.concatenate([p.valid for p in parts], axis=0),
+        xy=jnp.concatenate(xs, axis=0),
+        response=jnp.concatenate(resps, axis=0),
+        angle=angle,
+        level=jnp.concatenate(lvls, axis=0),
+        desc=desc,
+        valid=jnp.concatenate(valids, axis=0),
     )
