@@ -477,3 +477,123 @@ def stereo_frame_features(
         u_right=jnp.where(ok, u_right, -1.0),
         depth=jnp.where(ok, depth, 0.0),
     )
+
+
+@partial(jax.jit, static_argnames=("cam", "scale_factor", "n_levels"))
+def fuse_map_points(
+    cam: PinholeCamera,
+    m: MapState,
+    kf_new: jnp.ndarray,
+    kf_nb: jnp.ndarray,
+    inv_sigma2_table: jnp.ndarray,
+    scale_factor: float = 1.2,
+    n_levels: int = 8,
+):
+    """SearchInNeighbors / ORBmatcher::Fuse between one KF pair
+    (/root/reference/src/LocalMapping.cc:454, ORBmatcher.cc:893): project the
+    new KF's map points into a neighbor; where the matched keypoint already
+    holds a different point the two are MERGED (the one with more
+    observations survives, all observation slots are redirected —
+    MapPoint::Replace, MapPoint.cc:177); free matched keypoints gain an
+    observation.
+    """
+    K, N = m.kf_obs_pt.shape
+    P = m.capacity_pt
+    obs_a = m.kf_obs_pt[kf_new]
+    has_a = (obs_a >= 0) & m.kf_kp_valid[kf_new] & m.pt_valid[jnp.maximum(obs_a, 0)]
+    pts = m.pt_xyz[jnp.maximum(obs_a, 0)]
+
+    R, t = m.kf_R[kf_nb], m.kf_t[kf_nb]
+    p_cam = se3_apply(R, t, pts)
+    uv = project(cam, p_cam)
+    in_img = (
+        (uv[:, 0] >= 0) & (uv[:, 0] < cam.width) & (uv[:, 1] >= 0) & (uv[:, 1] < cam.height)
+    )
+    C = -(R.T @ t)
+    dist = jnp.linalg.norm(pts - C, axis=-1)
+    proj_ok = has_a & (p_cam[:, 2] > 0.05) & in_img
+
+    pred_lvl = predict_scale(
+        dist, m.pt_max_dist[jnp.maximum(obs_a, 0)], scale_factor, n_levels
+    )
+    radius = 3.0 * scale_factor ** pred_lvl.astype(jnp.float32)
+
+    idx, d, ok = search_by_projection_points(
+        uv,
+        m.pt_desc[jnp.maximum(obs_a, 0)],
+        proj_ok,
+        radius,
+        jnp.maximum(pred_lvl - 1, 0),
+        pred_lvl + 1,
+        m.kf_kp_xy[kf_nb],
+        m.kf_kp_desc[kf_nb],
+        m.kf_kp_level[kf_nb],
+        m.kf_kp_angle[kf_nb],
+        m.kf_kp_valid[kf_nb],
+        max_dist=TH_LOW,
+        nn_ratio=0.0,
+    )
+    p_src = jnp.maximum(obs_a, 0)          # point carried by each new-KF slot
+    tgt_slot = idx                          # matched neighbor keypoint slot
+    q = m.kf_obs_pt[kf_nb][tgt_slot]        # existing point there (-1 free)
+    # Don't self-merge.
+    ok = ok & (q != p_src)
+
+    # Observation counts per point for merge arbitration.
+    has_all = (m.kf_obs_pt >= 0) & m.kf_kp_valid & m.kf_valid[:, None]
+    flat = jnp.where(has_all, m.kf_obs_pt, P).reshape(-1)
+    cnt = jnp.zeros((P + 1,)).at[flat].add(1.0)[:P]
+
+    merge = ok & (q >= 0) & m.pt_valid[jnp.maximum(q, 0)]
+    add = ok & ~merge
+
+    qs = jnp.maximum(q, 0)
+    keep_src = cnt[p_src] >= cnt[qs]
+    winner = jnp.where(keep_src, p_src, qs)
+    loser = jnp.where(keep_src, qs, p_src)
+
+    # Replacement map: identity except losers -> winners.
+    repl = jnp.arange(P, dtype=jnp.int32)
+    repl = repl.at[jnp.where(merge, loser, winner)].set(winner)
+    # Follow one extra hop for short chains.
+    repl = repl[repl]
+
+    obs = m.kf_obs_pt
+    obs = jnp.where(obs >= 0, repl[jnp.maximum(obs, 0)], obs)
+    pt_valid = m.pt_valid.at[jnp.where(merge, loser, 0)].set(
+        jnp.where(merge, False, m.pt_valid[0])
+    )
+    # Add observations for free matched keypoints.
+    row = obs[kf_nb]
+    row = row.at[tgt_slot].set(jnp.where(add, repl[p_src], row[tgt_slot]))
+    obs = obs.at[kf_nb].set(row)
+    return m._replace(kf_obs_pt=obs, pt_valid=pt_valid)
+
+
+@jax.jit
+def cull_keyframes(m: MapState, current_kf: jnp.ndarray, protect: jnp.ndarray):
+    """KeyFrameCulling (/root/reference/src/LocalMapping.cc:632): invalidate
+    keyframes whose observed points are >= 90% redundant (seen by at least 3
+    other keyframes). Poses of culled KFs are retained (frozen) so recorded
+    relative trajectories still resolve; their observations are detached.
+
+    protect: (K,) bool — KFs that must not be culled (origin, current,
+    recent window).
+    """
+    K, N = m.kf_obs_pt.shape
+    P = m.capacity_pt
+    has = (m.kf_obs_pt >= 0) & m.kf_kp_valid & m.kf_valid[:, None]
+    flat = jnp.where(has, m.kf_obs_pt, P).reshape(-1)
+    cnt = jnp.zeros((P + 1,)).at[flat].add(1.0)[:P + 1]
+    obs_cnt = cnt[jnp.minimum(m.kf_obs_pt, P)]  # (K, N) total obs of each slot's point
+    redundant = has & (obs_cnt >= 4.0)  # self + 3 others (LocalMapping.cc:693)
+    n_obs = jnp.sum(has, axis=1).astype(jnp.float32)
+    n_red = jnp.sum(redundant, axis=1).astype(jnp.float32)
+    cull = (
+        m.kf_valid
+        & ~protect
+        & (n_obs > 0)
+        & (n_red >= 0.9 * n_obs)
+    )
+    obs = jnp.where(cull[:, None], -1, m.kf_obs_pt)
+    return m._replace(kf_valid=m.kf_valid & ~cull, kf_obs_pt=obs), cull

@@ -66,6 +66,41 @@ class System:
             "state": self.tracker.state.name,
         }
 
+    def activate_localization_mode(self):
+        """Track against the frozen map, no new keyframes
+        (System::ActivateLocalizationMode, System.cc:240)."""
+        self.tracker.localization_mode = True
+
+    def deactivate_localization_mode(self):
+        self.tracker.localization_mode = False
+
+    def save_map(self, path: str):
+        """Checkpoint the map (absent in the reference — System.h:115 TODO)."""
+        from tpuslam.io.checkpoint import save_map
+
+        save_map(self.tracker.map, path)
+
+    def load_map(self, path: str, localization: bool = True):
+        """Resume from a checkpoint; defaults to localization-only mode and
+        LOST state so the next frame relocalizes against the loaded map."""
+        from tpuslam.io.checkpoint import load_map
+        from tpuslam.pipeline.tracker import TrackingState
+
+        self.tracker.map = load_map(path)
+        self.tracker.localization_mode = localization
+        self.tracker.state = TrackingState.LOST
+
+    def render_map(self, path: str):
+        """Write a top-down PNG of the current map + trajectory."""
+        from tpuslam.viz import render_map_topdown
+
+        traj = [
+            (fid, R, t)
+            for fid, R, t, lost in self.tracker.export_trajectory()
+            if not lost
+        ]
+        render_map_topdown(self.tracker.map, traj).save(path)
+
     def save_trajectory_tum(self, path: str):
         """TUM format: timestamp tx ty tz qx qy qz qw of T_wc
         (System::SaveTrajectoryTUM, System.cc:337)."""

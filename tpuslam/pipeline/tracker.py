@@ -103,6 +103,9 @@ class Tracker:
         self._last_kf_idx = -1
         self._ref_kf_tracked = 0
         self._key = jax.random.PRNGKey(0)
+        # Localization-only mode (System::ActivateLocalizationMode,
+        # /root/reference/src/System.cc:240-272): track against a frozen map.
+        self.localization_mode = False
         # Loop closing (scale fixed once depth-based init is used).
         self._depth_mode = False
         self.loop_closer = None
@@ -359,6 +362,8 @@ class Tracker:
         cadence limit OR tracked fraction below 0.9x of the reference KF,
         with a minimum of matches to be worth inserting."""
         cfg = self.cfg
+        if self.localization_mode:
+            return False  # mbOnlyTracking (Tracking.cc:1031)
         if self.map.n_kf >= self.map.capacity_kf:
             return False
         if n_tracked < 15:
@@ -407,6 +412,19 @@ class Tracker:
             )
         # Recent-point culling (LocalMapping::MapPointCulling).
         m = steps.cull_map_points(m, jnp.int32(ki_int))
+        # Duplicate-point fusion with recent neighbors
+        # (LocalMapping::SearchInNeighbors).
+        for prev in range(max(ki_int - 3, 0), ki_int):
+            m = steps.fuse_map_points(
+                cfg.cam, m, jnp.int32(ki_int), jnp.int32(prev), self.inv_sigma2,
+                scale_factor=cfg.orb.scale_factor, n_levels=cfg.orb.n_levels,
+            )
+        # Redundant-keyframe culling (LocalMapping::KeyFrameCulling); protect
+        # the origin pair, the current KF, and the recent window.
+        protect = np.zeros(self.map.capacity_kf, bool)
+        protect[:2] = True
+        protect[max(ki_int - cfg.local_ba_window, 0) : ki_int + 1] = True
+        m, culled = steps.cull_keyframes(m, jnp.int32(ki_int), jnp.asarray(protect))
         # Local BA around the new keyframe.
         m = steps.local_bundle_adjustment(
             cfg.cam, m, jnp.int32(ki_int), self.inv_sigma2,
