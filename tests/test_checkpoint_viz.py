@@ -122,3 +122,33 @@ class TestMetrics:
         assert rep["counters"]["frames"] == 1
         assert rep["stages"]["track"]["n"] == 1
         assert rep["stages"]["track"]["median_ms"] >= 0.0
+
+
+class TestBoWRelocalization:
+    def test_reloc_via_bow_candidates(self, mapped_run):
+        """Force LOST, then relocalize: with a trained vocabulary the BoW
+        candidate path must produce keyframe candidates and succeed."""
+        from tpuslam.pipeline.tracker import TrackingState
+
+        sys_, frames, poses = mapped_run
+        tr = sys_.tracker
+        assert tr.loop_closer is not None and tr.loop_closer.voc is not None, (
+            "vocabulary should have been trained during mapping"
+        )
+        tr.state = TrackingState.LOST
+        i = 9
+        feats = tr._frame_features_stereo(
+            jnp.asarray(frames[i][0]), jnp.asarray(frames[i][1])
+        )
+        cands = tr._reloc_candidate_kfs(feats)
+        assert cands, "BoW query returned no relocalization candidates"
+        r = sys_.track_stereo(
+            jnp.asarray(frames[i][0]), jnp.asarray(frames[i][1]), 123.0
+        )
+        assert r is not None
+        assert sys_.tracker.state == TrackingState.OK
+        R_est, t_est = r
+        C_est = -R_est.T @ t_est
+        Rg, tg = np.asarray(poses[i][0]), np.asarray(poses[i][1])
+        C_gt = -Rg.T @ tg
+        assert np.linalg.norm(C_est - C_gt) < 0.1

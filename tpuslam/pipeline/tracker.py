@@ -453,30 +453,89 @@ class Tracker:
 
     # --------------------------------------------------------- relocalization
 
-    def _relocalize(self, feats: FrameFeatures, frame_id: int) -> bool:
-        """Brute-force descriptor relocalization + PnP: stands in for the
-        BoW-candidate flow (Tracking::Relocalization, Tracking.cc:1393) until
-        the place-recognition layer is wired in."""
+    def _reloc_candidate_kfs(self, feats: FrameFeatures):
+        """BoW relocalization candidates (Tracking::Relocalization ->
+        KeyFrameDatabase::DetectRelocalizationCandidates,
+        /root/reference/src/KeyFrameDatabase.cc:199): query the keyframe
+        database with the frame's BoW vector — no min-score gate and no
+        covisible exclusion, unlike loop detection."""
+        lc = self.loop_closer
+        if lc is None or lc.voc is None or lc.db is None:
+            return None
+        from tpuslam.mapstate.core import covisibility_weights
+        from tpuslam.place.vocabulary import bow_vector
+
+        v = bow_vector(lc.voc, feats.desc, feats.valid)
+        covis = covisibility_weights(self.map)
+        idx, ok = lc.db.query(
+            v,
+            jnp.zeros(self.map.capacity_kf, bool),
+            covis,
+            min_score=0.0,
+            max_candidates=3,
+        )
+        cands = [int(i) for i, o in zip(np.asarray(idx), np.asarray(ok)) if o]
+        return cands or None
+
+    def _match_frame_to_kf_points(self, feats: FrameFeatures, kf: int):
+        """Match current-frame keypoints against one keyframe's map points
+        (the SearchByBoW step of Relocalization, Tracking.cc:1419). Returns
+        (pt_idx (N,), valid (N,)) over current keypoints."""
         m = self.map
-        pair = m.pt_valid[:, None] & feats.valid[None, :]
+        obs_k = m.kf_obs_pt[kf]
+        has_k = (obs_k >= 0) & m.kf_kp_valid[kf] & m.pt_valid[jnp.maximum(obs_k, 0)]
+        pair = feats.valid[:, None] & has_k[None, :]
         idx, dist, ok = match_nn_ratio(
-            m.pt_desc, feats.desc, pair, max_dist=50, nn_ratio=0.75
+            feats.desc, m.kf_kp_desc[kf], pair, max_dist=50, nn_ratio=0.75
         )
-        if int(jnp.sum(ok)) < 15:
+        return jnp.where(ok, obs_k[idx], -1), ok
+
+    def _relocalize(self, feats: FrameFeatures, frame_id: int) -> bool:
+        """Relocalization (Tracking::Relocalization, Tracking.cc:1393): BoW
+        keyframe candidates -> per-candidate descriptor matching -> EPnP
+        RANSAC -> local-map polish. Falls back to brute-force matching over
+        all map points when no vocabulary has been trained yet."""
+        m = self.map
+        n = feats.xy.shape[0]
+        cand_kfs = self._reloc_candidate_kfs(feats)
+
+        attempts = []
+        if cand_kfs:
+            for kf in cand_kfs:
+                pt_idx, ok = self._match_frame_to_kf_points(feats, kf)
+                if int(jnp.sum(ok)) >= 15:
+                    attempts.append((pt_idx, ok))
+        if not attempts:
+            # Brute force over all points (small-map fallback).
+            pair = m.pt_valid[:, None] & feats.valid[None, :]
+            idx, dist, ok = match_nn_ratio(
+                m.pt_desc, feats.desc, pair, max_dist=50, nn_ratio=0.75
+            )
+            if int(jnp.sum(ok)) < 15:
+                return False
+            pt_idx = jnp.full((n,), -1, jnp.int32)
+            pt_idx = pt_idx.at[idx].set(
+                jnp.where(ok, jnp.arange(m.capacity_pt, dtype=jnp.int32), pt_idx[idx])
+            )
+            attempts.append((pt_idx, pt_idx >= 0))
+
+        res = None
+        sel = None
+        for pt_idx, ok in attempts:
+            r = pnp_ransac(
+                self._next_key(), self.cfg.cam.K,
+                m.pt_xyz[jnp.maximum(pt_idx, 0)], feats.xy,
+                jnp.ones(n), ok & (pt_idx >= 0),
+                min_inliers=15,
+            )
+            if bool(r.success):
+                res = r
+                sel = ok & (pt_idx >= 0) & r.inliers
+                chosen_pt_idx = pt_idx
+                break
+        if res is None:
             return False
-        res = pnp_ransac(
-            self._next_key(), self.cfg.cam.K,
-            m.pt_xyz, feats.xy[idx],
-            jnp.ones(m.capacity_pt), ok,
-            min_inliers=15,
-        )
-        if not bool(res.success):
-            return False
-        obs = jnp.full((feats.xy.shape[0],), -1, jnp.int32)
-        sel = ok & res.inliers
-        obs = obs.at[idx].set(
-            jnp.where(sel, jnp.arange(m.capacity_pt, dtype=jnp.int32), obs[idx])
-        )
+        obs = jnp.where(sel, chosen_pt_idx, -1)
         R, t, obs, n_inl, visible, found = steps.track_local_map(
             self.cfg.cam, m, res.R, res.t, feats, obs, self.inv_sigma2,
             scale_factor=self.cfg.orb.scale_factor, n_levels=self.cfg.orb.n_levels,
