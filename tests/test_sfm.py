@@ -202,3 +202,52 @@ class TestSim3:
         assert abs(float(res.s) - s_gt) < 0.02
         assert rot_err_deg(res.R, R_gt) < 0.5
         assert np.asarray(res.inliers)[out].mean() < 0.2
+
+
+class TestOptimizeSim3:
+    def test_refines_noisy_estimate(self, rng):
+        from tpuslam.sfm.sim3solver import optimize_sim3
+
+        n = 60
+        X1 = np.stack(
+            [rng.uniform(-2, 2, n), rng.uniform(-1.5, 1.5, n), rng.uniform(4, 9, n)], -1
+        ).astype(np.float32)
+        s_gt = 1.25
+        R_gt = np.asarray(so3_exp(jnp.asarray(np.array([0.04, -0.08, 0.02], np.float32))))
+        t_gt = np.array([0.2, -0.1, 0.4], np.float32)
+        X2 = s_gt * X1 @ R_gt.T + t_gt
+        uv1 = np.array(project(CAM, jnp.asarray(X1)))
+        uv2 = np.array(project(CAM, jnp.asarray(X2)))
+        uv1 += rng.normal(size=uv1.shape).astype(np.float32) * 0.3
+        uv2 += rng.normal(size=uv2.shape).astype(np.float32) * 0.3
+        # Perturbed start.
+        R0 = np.asarray(so3_exp(jnp.asarray(np.array([0.01, 0.02, -0.01], np.float32)))) @ R_gt
+        s, R, t, inl, n_inl = optimize_sim3(
+            CAM.K, jnp.asarray(s_gt * 1.05), jnp.asarray(R0), jnp.asarray(t_gt + 0.05),
+            jnp.asarray(X1), jnp.asarray(X2), jnp.asarray(uv1), jnp.asarray(uv2),
+            jnp.ones(n), jnp.ones(n), jnp.ones(n, bool),
+        )
+        assert int(n_inl) > 50
+        assert abs(float(s) - s_gt) < 0.01
+        assert rot_err_deg(R, R_gt) < 0.3
+        assert np.linalg.norm(np.asarray(t) - t_gt) < 0.03
+
+    def test_fix_scale_stays_one(self, rng):
+        from tpuslam.sfm.sim3solver import optimize_sim3
+
+        n = 40
+        X1 = np.stack(
+            [rng.uniform(-2, 2, n), rng.uniform(-1.5, 1.5, n), rng.uniform(4, 9, n)], -1
+        ).astype(np.float32)
+        R_gt = np.asarray(so3_exp(jnp.asarray(np.array([0.02, -0.05, 0.01], np.float32))))
+        t_gt = np.array([0.1, 0.0, 0.2], np.float32)
+        X2 = X1 @ R_gt.T + t_gt
+        uv1 = np.array(project(CAM, jnp.asarray(X1)))
+        uv2 = np.array(project(CAM, jnp.asarray(X2)))
+        s, R, t, inl, n_inl = optimize_sim3(
+            CAM.K, jnp.asarray(1.0), jnp.asarray(R_gt), jnp.asarray(t_gt + 0.03),
+            jnp.asarray(X1), jnp.asarray(X2), jnp.asarray(uv1), jnp.asarray(uv2),
+            jnp.ones(n), jnp.ones(n), jnp.ones(n, bool), fix_scale=True,
+        )
+        assert abs(float(s) - 1.0) < 1e-6
+        assert np.linalg.norm(np.asarray(t) - t_gt) < 0.01

@@ -189,7 +189,17 @@ class LoopCloser:
         )
         if not bool(res.success):
             return None
-        return res.s, res.R, res.t
+        # GN refinement over reprojection residuals (Optimizer::OptimizeSim3).
+        from tpuslam.sfm.sim3solver import optimize_sim3
+
+        s, R, t, inl, n_inl = optimize_sim3(
+            cam.K, res.s, res.R, res.t, X1, X2, uv1, uv2,
+            1.0 / sigma2_1, 1.0 / sigma2_2, res.inliers,
+            fix_scale=self.fix_scale,
+        )
+        if int(n_inl) < self.min_sim3_inliers:
+            return None
+        return s, R, t
 
     # ------------------------------------------------------------ correction
 

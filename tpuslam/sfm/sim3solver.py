@@ -135,3 +135,88 @@ def sim3_ransac(
     inliers = jnp.where(better, inl2, inl)
     n_inl = jnp.sum(inliers.astype(jnp.int32))
     return Sim3Result(n_inl >= min_inliers, s, R, t, inliers, n_inl)
+
+
+def optimize_sim3(
+    K: jnp.ndarray,
+    s0: jnp.ndarray,
+    R0: jnp.ndarray,
+    t0: jnp.ndarray,
+    X1: jnp.ndarray,
+    X2: jnp.ndarray,
+    uv1: jnp.ndarray,
+    uv2: jnp.ndarray,
+    inv_sigma2_1: jnp.ndarray,
+    inv_sigma2_2: jnp.ndarray,
+    valid: jnp.ndarray,
+    fix_scale: bool = False,
+    iters: int = 10,
+    chi2_th: float = 9.9999,
+):
+    """Gauss-Newton refinement of a relative Sim3 with bidirectional
+    reprojection residuals (Optimizer::OptimizeSim3,
+    /root/reference/src/Optimizer.cc:1046): edge pairs project X1 into
+    camera 2 through S21 and X2 into camera 1 through S21^-1; outliers
+    (chi2 > ~10, the reference's th2) are reclassified after a first half
+    of the schedule like g2o's two-pass loop (:1146-1186).
+
+    Returns (s, R, t, inliers, n_inliers).
+    """
+    from tpuslam.geometry.sim3 import sim3_exp, sim3_compose, sim3_inverse, sim3_apply
+
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+
+    def project(P):
+        z = jnp.where(jnp.abs(P[:, 2]) < 1e-9, 1e-9, P[:, 2])
+        return jnp.stack([fx * P[:, 0] / z + cx, fy * P[:, 1] / z + cy], axis=-1)
+
+    def residuals(params, s, R, t):
+        ds, dR, dt = sim3_exp(params)
+        s_, R_, t_ = sim3_compose(ds, dR, dt, s, R, t)
+        e2 = (project(sim3_apply(s_[None].repeat(X1.shape[0]), R_, t_, X1)) - uv2)
+        si, Ri, ti = sim3_inverse(s_, R_, t_)
+        e1 = (project(sim3_apply(si[None].repeat(X2.shape[0]), Ri, ti, X2)) - uv1)
+        return e1, e2
+
+    def chi2(params, s, R, t):
+        e1, e2 = residuals(params, s, R, t)
+        return (
+            jnp.sum(e1 * e1, axis=-1) * inv_sigma2_1
+            + jnp.sum(e2 * e2, axis=-1) * inv_sigma2_2
+        )
+
+    def gn_rounds(s, R, t, active, n_iters):
+        def step(carry, _):
+            s, R, t = carry
+            zero = jnp.zeros(7)
+
+            def flat_res(p):
+                e1, e2 = residuals(p, s, R, t)
+                w1 = jnp.sqrt(inv_sigma2_1 * active)
+                w2 = jnp.sqrt(inv_sigma2_2 * active)
+                return jnp.concatenate(
+                    [(e1 * w1[:, None]).reshape(-1), (e2 * w2[:, None]).reshape(-1)]
+                )
+
+            r = flat_res(zero)
+            J = jax.jacfwd(flat_res)(zero)  # (4N, 7)
+            if fix_scale:
+                J = J.at[:, 6].set(0.0)
+            H = J.T @ J + 1e-6 * jnp.eye(7)
+            dx = jnp.linalg.solve(H, -(J.T @ r))
+            if fix_scale:
+                dx = dx.at[6].set(0.0)
+            ds, dR, dt = sim3_exp(dx)
+            return sim3_compose(ds, dR, dt, s, R, t), None
+
+        (s, R, t), _ = jax.lax.scan(step, (s, R, t), None, length=n_iters)
+        return s, R, t
+
+    active = valid.astype(jnp.float32)
+    s, R, t = gn_rounds(s0, R0, t0, active, iters // 2)
+    c = chi2(jnp.zeros(7), s, R, t)
+    inliers = valid & (c <= chi2_th)
+    s, R, t = gn_rounds(s, R, t, inliers.astype(jnp.float32), iters - iters // 2)
+    c = chi2(jnp.zeros(7), s, R, t)
+    inliers = valid & (c <= chi2_th)
+    return s, R, t, inliers, jnp.sum(inliers.astype(jnp.int32))
