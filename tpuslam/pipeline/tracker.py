@@ -66,6 +66,10 @@ class TrackerConfig:
     th_depth_factor: float = 40.0
     depth_map_factor: float = 1.0  # RGB-D depth image scale (DepthMapFactor)
     enable_loop_closing: bool = True
+    # Run mapping + loop closing on a background worker thread (the
+    # reference's LocalMapping/LoopClosing threads); tracking continues on
+    # the latest published snapshot and adopts results at frame boundaries.
+    async_mapping: bool = False
 
 
 class Tracker:
@@ -106,6 +110,15 @@ class Tracker:
         # Localization-only mode (System::ActivateLocalizationMode,
         # /root/reference/src/System.cc:240-272): track against a frozen map.
         self.localization_mode = False
+        # Async mapping worker (single-slot, mirrors SetAcceptKeyFrames).
+        self._mapping_future = None
+        self._mapping_pool = None
+        if config.async_mapping:
+            import concurrent.futures
+
+            self._mapping_pool = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="local-mapping"
+            )
         # Loop closing (scale fixed once depth-based init is used).
         self._depth_mode = False
         self.loop_closer = None
@@ -310,6 +323,8 @@ class Tracker:
 
     def _track_frame(self, feats: FrameFeatures, frame_id: int) -> bool:
         cfg = self.cfg
+        # Adopt any finished background mapping result (snapshot swap).
+        self._poll_mapping()
         R_pred, t_pred = self._predict_pose()
         R, t, obs, n_inl = steps.track_motion_model(
             cfg.cam, self.map, self._last_feats, self._last_obs,
@@ -381,12 +396,74 @@ class Tracker:
         if n < self.kp_capacity:
             feats = self._pad_feats(feats)
             obs = jnp.pad(obs, (0, self.kp_capacity - n), constant_values=-1)
+        # Back-pressure: one mapping job in flight (the reference's
+        # SetAcceptKeyFrames protocol, LocalMapping.cc:55) — adopt the
+        # previous result before inserting on top of it.
+        self._join_mapping()
         m, ki = insert_keyframe(self.map, feats, R, t, frame_id, obs)
         ki_int = int(ki)
         # Stereo/RGB-D: densify with close depth points
         # (Tracking::CreateNewKeyFrame stereo path, Tracking.cc:1115-1186).
         if bool(jnp.any(feats.depth > 0)):
             m = self._add_depth_points(m, ki_int, feats, R, t)
+
+        if cfg.async_mapping:
+            # Publish the inserted-KF snapshot and hand the mapping work to
+            # the background worker (the LocalMapping/LoopClosing threads of
+            # the reference, SURVEY.md P1/P5): tracking continues against
+            # this immutable snapshot; the job's result is adopted at a
+            # frame boundary.
+            self.map = m
+            self._last_kf_idx = ki_int
+            self._frames_since_kf = 0
+            self._ref_kf_tracked = int(jnp.sum(m.kf_obs_pt[ki_int] >= 0))
+            self._mapping_future = self._mapping_pool.submit(
+                self._mapping_job, m, ki_int
+            )
+            return
+
+        m = self._mapping_compute(m, ki_int)
+        self.map = m
+        self._last_kf_idx = ki_int
+        self._frames_since_kf = 0
+        self._ref_kf_tracked = int(jnp.sum(self.map.kf_obs_pt[ki_int] >= 0))
+        # Keep the tracker's pose in sync with the BA-refined keyframe.
+        self._last_R = self.map.kf_R[ki_int]
+        self._last_t = self.map.kf_t[ki_int]
+        self._velocity = None
+
+    # ------------------------------------------------- mapping (sync/async)
+
+    def _mapping_job(self, m, ki_int):
+        return self._mapping_compute(m, ki_int), ki_int
+
+    def _adopt_mapping_result(self, result):
+        m, ki_int = result
+        self.map = m
+        if ki_int == self._last_kf_idx:
+            self._ref_kf_tracked = int(jnp.sum(m.kf_obs_pt[ki_int] >= 0))
+        # The motion model was estimated against the pre-BA map; carrying it
+        # across the snapshot swap compounds the BA correction into the
+        # prediction and diverges. Re-estimate from scratch next frame (the
+        # sync path does the same via its velocity reset).
+        self._velocity = None
+
+    def _join_mapping(self):
+        if self._mapping_future is not None:
+            self._adopt_mapping_result(self._mapping_future.result())
+            self._mapping_future = None
+
+    def _poll_mapping(self):
+        f = self._mapping_future
+        if f is not None and f.done():
+            self._adopt_mapping_result(f.result())
+            self._mapping_future = None
+
+    def _mapping_compute(self, m, ki_int):
+        """The LocalMapping + LoopClosing work for one new keyframe, as a
+        pure snapshot -> snapshot function (runs on the worker thread in
+        async mode)."""
+        cfg = self.cfg
         # Triangulate new points against up to 3 recent keyframes with
         # adequate baseline (LocalMapping::CreateNewMapPoints iterates the
         # best covisible neighbors, LocalMapping.cc:207-244; recency is the
@@ -421,7 +498,7 @@ class Tracker:
             )
         # Redundant-keyframe culling (LocalMapping::KeyFrameCulling); protect
         # the origin pair, the current KF, and the recent window.
-        protect = np.zeros(self.map.capacity_kf, bool)
+        protect = np.zeros(m.capacity_kf, bool)
         protect[:2] = True
         protect[max(ki_int - cfg.local_ba_window, 0) : ki_int + 1] = True
         m, culled = steps.cull_keyframes(m, jnp.int32(ki_int), jnp.asarray(protect))
@@ -431,25 +508,17 @@ class Tracker:
             window=cfg.local_ba_window, n_levels=cfg.orb.n_levels,
         )
         m = update_point_normals(m, self.scale_factors)
-        self.map = m
         # Loop closing on the fresh keyframe (the reference's LoopClosing
         # thread hand-off, LocalMapping.cc:87).
         if self.loop_closer is not None:
             self.loop_closer.fix_scale = self._depth_mode
             m2, closed = self.loop_closer.on_keyframe(
-                self.map, cfg.cam, ki_int,
+                m, cfg.cam, ki_int,
                 ba_fn=lambda mm: self._global_ba(mm, iters=10),
             )
             if closed:
-                self.map = update_point_normals(m2, self.scale_factors)
-                m = self.map
-        self._last_kf_idx = ki_int
-        self._frames_since_kf = 0
-        self._ref_kf_tracked = int(jnp.sum(self.map.kf_obs_pt[ki_int] >= 0))
-        # Keep the tracker's pose in sync with the BA-refined keyframe.
-        self._last_R = self.map.kf_R[ki_int]
-        self._last_t = self.map.kf_t[ki_int]
-        self._velocity = None
+                m = update_point_normals(m2, self.scale_factors)
+        return m
 
     # --------------------------------------------------------- relocalization
 
@@ -721,6 +790,7 @@ class Tracker:
         return None
 
     def export_trajectory(self):
+        self._join_mapping()
         """Final camera trajectory: compose each frame's stored relative pose
         with its (optimized) reference keyframe pose
         (System::SaveTrajectoryTUM semantics). Returns list of
