@@ -66,6 +66,11 @@ class System:
             "state": self.tracker.state.name,
         }
 
+    def reset(self):
+        """Clear the map and restart tracking (System::Reset)."""
+        self.tracker.reset()
+        self._timestamps = {}
+
     def activate_localization_mode(self):
         """Track against the frozen map, no new keyframes
         (System::ActivateLocalizationMode, System.cc:240)."""

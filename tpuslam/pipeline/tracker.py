@@ -617,6 +617,33 @@ class Tracker:
         self._velocity = None
         return True
 
+    def reset(self):
+        """Full system reset (System::Reset -> Tracking::Reset,
+        /root/reference/src/System.cc:306, Tracking.cc:1556): clear the map,
+        the loop-closing state, and return to NOT_INITIALIZED."""
+        self._join_mapping()
+        self.map = make_empty_map(
+            self.cfg.max_keyframes, self.kp_capacity, self.cfg.max_points
+        )
+        self.state = TrackingState.NO_IMAGES_YET
+        self._init_feats = None
+        self._last_feats = None
+        self._last_obs = None
+        self._last_R = jnp.eye(3)
+        self._last_t = jnp.zeros(3)
+        self._velocity = None
+        self._frames_since_kf = 0
+        self._last_kf_idx = -1
+        self._ref_kf_tracked = 0
+        self._depth_mode = False
+        self.trajectory = []
+        if self.loop_closer is not None:
+            from tpuslam.pipeline.loop_closing import LoopCloser
+
+            self.loop_closer = LoopCloser(
+                self.cfg.max_keyframes, fix_scale=False, voc=self.loop_closer.voc
+            )
+
     # ------------------------------------------------------------- public API
 
     def track_monocular(self, img: jnp.ndarray, frame_id: int):
