@@ -143,7 +143,7 @@ class TestQuadtree:
 
         target = 80
         xy, resp, valid = _select_level_keypoints(
-            jnp.asarray(score), target, 512, 30, 20.0
+            jnp.asarray(score), target, 30, 20.0
         )
         sel_tpu = {
             (int(x), int(y))

@@ -192,64 +192,66 @@ def _nms3(score: jnp.ndarray) -> jnp.ndarray:
 def _select_level_keypoints(
     score: jnp.ndarray,
     n_keep: int,
-    n_cand: int,
     cell_size: int,
     ini_th: float,
 ) -> tuple:
     """Spatially-uniform top-n_keep selection from a response map.
 
-    Replaces DistributeOctTree (/root/reference/src/ORBextractor.cc:644):
-    candidates are the n_cand highest responses; each is ranked within its
-    cell; final order is (rank-in-cell asc, response desc). Cells where the
-    best response >= ini_th contribute only >= ini_th corners (the
-    reference's dual-threshold fallback at :976-987).
+    Replaces DistributeOctTree (/root/reference/src/ORBextractor.cc:644) with
+    a parallel per-cell formulation: the map is tiled into cell_size cells, a
+    batched top-R ranks corners within every cell, and the final order is
+    (rank-in-cell asc, response desc) — one corner per occupied cell first,
+    like the quadtree's best-per-node rule. Cells whose best response is
+    >= ini_th contribute only >= ini_th corners (the reference's
+    dual-threshold fallback at :976-987).
 
     Returns (xy (n_keep, 2) int32, resp (n_keep,), valid (n_keep,)).
     """
     H, W = score.shape
-    flat = score.reshape(-1)
-    resp, idx = jax.lax.top_k(flat, n_cand)
-    ys = idx // W
-    xs = idx % W
-    valid = resp > 0.0
     # Detection border (quadtree region in the reference).
-    valid &= (
-        (xs >= _DETECT_BORDER)
-        & (xs < W - _DETECT_BORDER)
-        & (ys >= _DETECT_BORDER)
-        & (ys < H - _DETECT_BORDER)
+    ys_g = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xs_g = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    in_border = (
+        (xs_g >= _DETECT_BORDER)
+        & (xs_g < W - _DETECT_BORDER)
+        & (ys_g >= _DETECT_BORDER)
+        & (ys_g < H - _DETECT_BORDER)
     )
+    s = jnp.where(in_border, score, 0.0)
 
+    n_cells_y = (H + cell_size - 1) // cell_size
     n_cells_x = (W + cell_size - 1) // cell_size
-    cell = (ys // cell_size) * n_cells_x + (xs // cell_size)
-    cell = jnp.where(valid, cell, jnp.iinfo(jnp.int32).max)
+    n_cells = n_cells_y * n_cells_x
+    area = cell_size * cell_size
+    sp = jnp.pad(s, ((0, n_cells_y * cell_size - H), (0, n_cells_x * cell_size - W)))
+    cells = sp.reshape(n_cells_y, cell_size, n_cells_x, cell_size)
+    cells = cells.transpose(0, 2, 1, 3).reshape(n_cells, area)
 
-    # Sort by (cell asc, response desc):
-    key = cell.astype(jnp.float32) * 4096.0 - jnp.clip(resp, 0, 4095.0)
-    order = jnp.argsort(key)
-    cell_s = cell[order]
-    resp_s = resp[order]
-    valid_s = valid[order]
-    pos = jnp.arange(n_cand)
-    is_start = jnp.concatenate([jnp.array([True]), cell_s[1:] != cell_s[:-1]])
-    start_idx = jax.lax.associative_scan(jnp.maximum, jnp.where(is_start, pos, -1))
-    rank = pos - start_idx
-    # Entries are sorted desc within each cell, so the rank-0 entry IS the
-    # cell max; gather it via each entry's cell-start index.
-    cell_max = resp_s[start_idx]
-    # Apply dual threshold: if the cell has an >= ini_th corner, drop its
-    # sub-ini_th corners.
-    valid_s &= ~((cell_max >= ini_th) & (resp_s < ini_th))
+    # Per-cell candidate depth: enough to fill the budget even when corners
+    # cluster in few cells (4x headroom), at least 8, at most the cell area.
+    r = min(max(8, -(-4 * n_keep // n_cells)), area, n_keep)
+    resp_c, idx_c = jax.lax.top_k(cells, r)  # (n_cells, r)
+    valid = resp_c > 0.0
+    # Dual threshold: if the cell has an >= ini_th corner, drop its
+    # sub-ini_th corners (rank 0 is the cell max).
+    valid &= ~((resp_c[:, :1] >= ini_th) & (resp_c < ini_th))
+
+    # Global coordinates of each candidate.
+    ci = jnp.arange(n_cells, dtype=jnp.int32)[:, None]
+    ys = (ci // n_cells_x) * cell_size + idx_c // cell_size
+    xs = (ci % n_cells_x) * cell_size + idx_c % cell_size
 
     # Final priority: one corner per cell first, then second-best, etc.
-    prio = rank.astype(jnp.float32) * 4096.0 - jnp.clip(resp_s, 0, 4095.0)
-    prio = jnp.where(valid_s, prio, jnp.inf)
-    final = jnp.argsort(prio)[:n_keep]
-    sel = order[final]
-    out_valid = valid_s[final] & (jnp.arange(n_keep) < n_cand)
+    rank = jnp.arange(r, dtype=jnp.float32)[None, :]
+    prio = rank * 4096.0 - jnp.clip(resp_c, 0, 4095.0)
+    prio = jnp.where(valid, prio, jnp.inf)
+    final = jnp.argsort(prio.reshape(-1))[:n_keep]
+    out_valid = valid.reshape(-1)[final] & (jnp.arange(n_keep) < n_cells * r)
     return (
-        jnp.stack([xs[sel], ys[sel]], axis=-1).astype(jnp.int32),
-        resp[sel],
+        jnp.stack([xs.reshape(-1)[final], ys.reshape(-1)[final]], axis=-1).astype(
+            jnp.int32
+        ),
+        resp_c.reshape(-1)[final],
         out_valid,
     )
 
@@ -361,9 +363,8 @@ def extract_orb(img: jnp.ndarray, config: ORBConfig) -> ORBFeatures:
         if n_l <= 0:
             continue
         score = _nms3(fast_response(lvl_img, config.min_th_fast))
-        n_cand = min(max(4 * n_l, 256), score.shape[0] * score.shape[1])
         xy, resp, valid = _select_level_keypoints(
-            score, n_l, n_cand, config.cell_size, config.ini_th_fast
+            score, n_l, config.cell_size, config.ini_th_fast
         )
         # Edge-padded level block appended to the atlas; detection-border
         # margins guarantee every 47x47 patch stays inside its own block.
