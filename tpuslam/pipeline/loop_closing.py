@@ -28,10 +28,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tpuslam.geometry.camera import project
 from tpuslam.geometry.se3 import se3_apply, se3_compose, se3_inverse
 from tpuslam.geometry.sim3 import sim3_apply, sim3_compose, sim3_inverse
 from tpuslam.mapstate.core import MapState, covisibility_weights
-from tpuslam.matching.search import match_nn_ratio
+from tpuslam.matching.search import (
+    TH_HIGH,
+    TH_LOW,
+    match_nn_ratio,
+    search_by_projection_points,
+)
 from tpuslam.optim.pose_graph import Sim3Edges, make_relative, optimize_pose_graph
 from tpuslam.place.database import KeyFrameDatabase, l1_score
 from tpuslam.place.vocabulary import Vocabulary, bow_vector, train_vocabulary
@@ -51,6 +57,7 @@ class LoopCloser:
         voc_k: int = 8,
         voc_levels: int = 3,
         min_sim3_inliers: int = 20,
+        min_total_matches: int = 40,
     ):
         self.voc = voc
         self.voc_k = voc_k
@@ -59,6 +66,7 @@ class LoopCloser:
         self.max_keyframes = max_keyframes
         self.fix_scale = fix_scale
         self.min_sim3_inliers = min_sim3_inliers
+        self.min_total_matches = min_total_matches
         self._bow = {}
         self._consistent_groups = []  # list[(set(kf_ids), count)]
         self._last_loop_kf = -1
@@ -148,10 +156,127 @@ class LoopCloser:
 
     # ------------------------------------------------------------------ sim3
 
-    def _compute_sim3(self, m: MapState, cam, kf_cur: int, kf_loop: int):
-        """Descriptor-match the two KFs' map points, run Sim3 RANSAC.
-        Returns (s, R, t) mapping loop-KF camera coords -> current-KF camera
-        coords, or None."""
+    def _kf_cam_points(self, m: MapState, kf: int):
+        """Per-keypoint-slot camera-frame positions of the KF's map points and
+        the slot mask. Returns (X (N, 3), has (N,))."""
+        obs = m.kf_obs_pt[kf]
+        has = (obs >= 0) & m.kf_kp_valid[kf] & m.pt_valid[jnp.maximum(obs, 0)]
+        X = se3_apply(m.kf_R[kf], m.kf_t[kf], m.pt_xyz[jnp.maximum(obs, 0)])
+        return X, has
+
+    def _search_by_sim3(self, m: MapState, cam, kf_cur: int, kf_loop: int,
+                        s21, R21, t21):
+        """ORBmatcher::SearchBySim3 (/root/reference/src/ORBmatcher.cc:1170):
+        mutually-consistent Sim3-guided projection matching between the two
+        keyframes' map points. Returns (idx_f (N,), mutual (N,)): per loop-KF
+        slot, the matched current-KF keypoint and the mutual-agreement mask."""
+        N = m.kf_obs_pt.shape[1]
+        X_c, has_c = self._kf_cam_points(m, kf_cur)
+        X_l, has_l = self._kf_cam_points(m, kf_loop)
+
+        # Forward: loop points into the current camera.
+        X_l_in_c = sim3_apply(s21, R21, t21, X_l)
+        lvl_l = m.kf_kp_level[kf_loop]
+        idx_f, _, ok_f = search_by_projection_points(
+            project(cam, X_l_in_c),
+            m.kf_kp_desc[kf_loop],
+            has_l & (X_l_in_c[:, 2] > 0),
+            7.5 * 1.2 ** lvl_l.astype(jnp.float32),
+            jnp.maximum(lvl_l - 1, 0),
+            lvl_l + 1,
+            m.kf_kp_xy[kf_cur],
+            m.kf_kp_desc[kf_cur],
+            m.kf_kp_level[kf_cur],
+            m.kf_kp_angle[kf_cur],
+            m.kf_kp_valid[kf_cur],
+            max_dist=TH_HIGH,
+        )
+        # Backward: current points into the loop camera.
+        si, Ri, ti = sim3_inverse(s21, R21, t21)
+        X_c_in_l = sim3_apply(si, Ri, ti, X_c)
+        lvl_c = m.kf_kp_level[kf_cur]
+        idx_b, _, ok_b = search_by_projection_points(
+            project(cam, X_c_in_l),
+            m.kf_kp_desc[kf_cur],
+            has_c & (X_c_in_l[:, 2] > 0),
+            7.5 * 1.2 ** lvl_c.astype(jnp.float32),
+            jnp.maximum(lvl_c - 1, 0),
+            lvl_c + 1,
+            m.kf_kp_xy[kf_loop],
+            m.kf_kp_desc[kf_loop],
+            m.kf_kp_level[kf_loop],
+            m.kf_kp_angle[kf_loop],
+            m.kf_kp_valid[kf_loop],
+            max_dist=TH_HIGH,
+        )
+        # Mutual agreement (ORBmatcher.cc:1330-1345): loop slot i matched to
+        # current keypoint j counts only if current slot j matches back to i.
+        j = idx_f
+        mutual = ok_f & ok_b[j] & (idx_b[j] == jnp.arange(N))
+        return idx_f, mutual
+
+    def _neighborhood_matches(self, m: MapState, cam, kf_cur: int, kf_loop: int,
+                              s21, R21, t21, covis: jnp.ndarray):
+        """Project the loop KF's covisible neighborhood's map points into the
+        current frame through the corrected S_cw and match
+        (LoopClosing::ComputeSim3 final gate, LoopClosing.cc:352-391;
+        projection per ORBmatcher.cc:290 with th=10). Returns the per-current-
+        keypoint matched mask."""
+        P = m.capacity_pt
+        nbrs = np.nonzero(np.asarray(covis[kf_loop]) >= 15)[0].tolist()
+        nbrs = [k for k in ([kf_loop] + nbrs) if k < int(m.n_kf)]
+        obs = m.kf_obs_pt[jnp.asarray(np.array(nbrs, np.int32))]       # (B, N)
+        hasv = (obs >= 0) & m.kf_kp_valid[jnp.asarray(np.array(nbrs, np.int32))]
+        flat = jnp.where(hasv, obs, P).reshape(-1)
+        nb_mask = jnp.zeros((P + 1,), bool).at[flat].set(True)[:P] & m.pt_valid
+
+        # Corrected S_cw = S21 * T_loop,w; camera center = S_cw^-1(0).
+        s_cw, R_cw, t_cw = sim3_compose(
+            s21, R21, t21, jnp.ones(()), m.kf_R[kf_loop], m.kf_t[kf_loop]
+        )
+        Xc = sim3_apply(s_cw, R_cw, t_cw, m.pt_xyz)
+        uv = project(cam, Xc)
+        center = sim3_inverse(s_cw, R_cw, t_cw)[2]  # S_cw^-1 at the origin
+        # Predicted octave from the scale-invariance range
+        # (MapPoint::PredictScale, /root/reference/src/MapPoint.cc:385).
+        dist = jnp.linalg.norm(m.pt_xyz - center[None], axis=-1)
+        finite = jnp.isfinite(m.pt_max_dist) & (m.pt_max_dist > 0)
+        ratio = jnp.where(finite, m.pt_max_dist / jnp.maximum(dist, 1e-9), 1.0)
+        pred = jnp.clip(
+            jnp.ceil(jnp.log(jnp.maximum(ratio, 1e-9)) / jnp.log(1.2)), 0, 7
+        ).astype(jnp.int32)
+        in_img = (
+            (Xc[:, 2] > 0)
+            & (uv[:, 0] >= 0) & (uv[:, 0] < cam.width)
+            & (uv[:, 1] >= 0) & (uv[:, 1] < cam.height)
+        )
+        lo = jnp.where(finite, jnp.maximum(pred - 1, 0), 0)
+        hi = jnp.where(finite, pred + 1, 7)
+        idx, _, ok = search_by_projection_points(
+            uv,
+            m.pt_desc,
+            nb_mask & in_img,
+            10.0 * 1.2 ** pred.astype(jnp.float32),
+            lo,
+            hi,
+            m.kf_kp_xy[kf_cur],
+            m.kf_kp_desc[kf_cur],
+            m.kf_kp_level[kf_cur],
+            m.kf_kp_angle[kf_cur],
+            m.kf_kp_valid[kf_cur],
+            max_dist=TH_LOW,
+        )
+        N = m.kf_obs_pt.shape[1]
+        return jnp.zeros((N + 1,), bool).at[jnp.where(ok, idx, N)].set(True)[:N]
+
+    def _compute_sim3(self, m: MapState, cam, kf_cur: int, kf_loop: int,
+                      covis: jnp.ndarray):
+        """Descriptor-match the two KFs' map points, run Sim3 RANSAC, widen
+        with mutually-consistent Sim3-guided projection (SearchBySim3),
+        refine (OptimizeSim3), then gate on total matches against the loop
+        neighborhood's projected points (LoopClosing::ComputeSim3,
+        /root/reference/src/LoopClosing.cc:231-391). Returns (s, R, t)
+        mapping loop-KF camera coords -> current-KF camera coords, or None."""
         N = m.kf_obs_pt.shape[1]
         obs_c = m.kf_obs_pt[kf_cur]
         obs_l = m.kf_obs_pt[kf_loop]
@@ -163,17 +288,22 @@ class LoopCloser:
         )
         if int(jnp.sum(ok)) < self.min_sim3_inliers:
             return None
-        # Camera-frame coordinates of the matched points in each KF.
-        Xw_c = m.pt_xyz[jnp.maximum(obs_c, 0)]
-        Xw_l = m.pt_xyz[jnp.maximum(obs_l[idx], 0)]
-        X2 = se3_apply(m.kf_R[kf_cur], m.kf_t[kf_cur], Xw_c)    # current
-        X1 = se3_apply(m.kf_R[kf_loop], m.kf_t[kf_loop], Xw_l)  # loop
-        uv2 = m.kf_kp_xy[kf_cur]
-        uv1 = m.kf_kp_xy[kf_loop][idx]
-        lvl2 = m.kf_kp_level[kf_cur]
-        lvl1 = m.kf_kp_level[kf_loop][idx]
-        sigma2_2 = 1.2 ** (2.0 * lvl2.astype(jnp.float32))
-        sigma2_1 = 1.2 ** (2.0 * lvl1.astype(jnp.float32))
+
+        def match_arrays(idx, ok):
+            """Per-current-slot match arrays against loop slots idx."""
+            Xw_c = m.pt_xyz[jnp.maximum(obs_c, 0)]
+            Xw_l = m.pt_xyz[jnp.maximum(obs_l[idx], 0)]
+            X2 = se3_apply(m.kf_R[kf_cur], m.kf_t[kf_cur], Xw_c)    # current
+            X1 = se3_apply(m.kf_R[kf_loop], m.kf_t[kf_loop], Xw_l)  # loop
+            uv2 = m.kf_kp_xy[kf_cur]
+            uv1 = m.kf_kp_xy[kf_loop][idx]
+            lvl2 = m.kf_kp_level[kf_cur]
+            lvl1 = m.kf_kp_level[kf_loop][idx]
+            sigma2_2 = 1.2 ** (2.0 * lvl2.astype(jnp.float32))
+            sigma2_1 = 1.2 ** (2.0 * lvl1.astype(jnp.float32))
+            return X1, X2, uv1, uv2, sigma2_1, sigma2_2
+
+        X1, X2, uv1, uv2, sigma2_1, sigma2_2 = match_arrays(idx, ok)
         res = sim3_ransac(
             self._next_key(),
             cam.K,
@@ -189,15 +319,45 @@ class LoopCloser:
         )
         if not bool(res.success):
             return None
-        # GN refinement over reprojection residuals (Optimizer::OptimizeSim3).
-        from tpuslam.sfm.sim3solver import optimize_sim3
 
+        # Widen with mutually-consistent guided projection (SearchBySim3,
+        # LoopClosing.cc:317-323) before the refinement.
+        idx_f, mutual = self._search_by_sim3(
+            m, cam, kf_cur, kf_loop, res.s, res.R, res.t
+        )
+        tgt = jnp.where(mutual, idx_f, N)  # mutual => idx_f injective
+        add = jnp.full((N + 1,), -1, jnp.int32).at[tgt].set(
+            jnp.arange(N, dtype=jnp.int32)
+        )[:N]
+        merged_idx = jnp.where(ok, idx, jnp.maximum(add, 0))
+        merged_ok = ok | ((add >= 0) & has_c)
+
+        # GN refinement over reprojection residuals (Optimizer::OptimizeSim3).
+        # The reference shields this step from wrong matches with Huber
+        # kernels; the batched GN instead gates the merged set by the RANSAC
+        # estimate's mutual chi2 check before refining.
+        from tpuslam.sfm.sim3solver import optimize_sim3, sim3_chi2_inliers
+
+        X1, X2, uv1, uv2, sigma2_1, sigma2_2 = match_arrays(merged_idx, merged_ok)
+        merged_ok = sim3_chi2_inliers(
+            cam.K, res.s, res.R, res.t, X1, X2, uv1, uv2,
+            9.21 * sigma2_1, 9.21 * sigma2_2, merged_ok,
+        )
         s, R, t, inl, n_inl = optimize_sim3(
             cam.K, res.s, res.R, res.t, X1, X2, uv1, uv2,
-            1.0 / sigma2_1, 1.0 / sigma2_2, res.inliers,
+            1.0 / sigma2_1, 1.0 / sigma2_2, merged_ok,
             fix_scale=self.fix_scale,
         )
         if int(n_inl) < self.min_sim3_inliers:
+            return None
+
+        # Accept only if enough of the loop neighborhood's points re-find
+        # themselves in the current frame (>= 40 total, LoopClosing.cc:389).
+        nb_hit = self._neighborhood_matches(
+            m, cam, kf_cur, kf_loop, s, R, t, covis
+        )
+        total = int(jnp.sum(nb_hit | (merged_ok & inl)))
+        if total < self.min_total_matches:
             return None
         return s, R, t
 
@@ -319,7 +479,7 @@ class LoopCloser:
         cand = self._detect(m, kf_cur, covis)
         if cand is None:
             return m, False
-        sim3 = self._compute_sim3(m, cam, kf_cur, cand)
+        sim3 = self._compute_sim3(m, cam, kf_cur, cand, covis)
         if sim3 is None:
             return m, False
         s21, R21, t21 = sim3

@@ -69,6 +69,27 @@ class Sim3Result(NamedTuple):
     n_inliers: jnp.ndarray
 
 
+def sim3_chi2_inliers(K, s, R, t, X1, X2, uv1, uv2, chi2_1, chi2_2, valid):
+    """Mutual-reprojection chi2 inlier mask for a Sim3 S21
+    (Sim3Solver::CheckInliers, /root/reference/src/Sim3Solver.cc:340):
+    project X1 through S21 against uv2 and X2 through S21^-1 against uv1;
+    inlier iff both squared errors clear their chi2 gates."""
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+
+    def project(P):
+        z = jnp.where(jnp.abs(P[:, 2]) < 1e-9, 1e-9, P[:, 2])
+        return jnp.stack([fx * P[:, 0] / z + cx, fy * P[:, 1] / z + cy], axis=-1)
+
+    X1in2 = s * (X1 @ R.T) + t
+    e2 = jnp.sum((project(X1in2) - uv2) ** 2, axis=-1)
+    sinv = 1.0 / s
+    Rinv = R.T
+    tinv = -sinv * (Rinv @ t)
+    X2in1 = sinv * (X2 @ Rinv.T) + tinv
+    e1 = jnp.sum((project(X2in1) - uv1) ** 2, axis=-1)
+    return valid & (e1 < chi2_1) & (e2 < chi2_2)
+
+
 def sim3_ransac(
     key: jax.Array,
     K: jnp.ndarray,
@@ -90,29 +111,14 @@ def sim3_ransac(
     (9.210 x sigma2 in the reference, Sim3Solver.cc:55-72). Returns the
     transform S21 mapping camera-1 coords to camera-2 coords.
     """
-    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
     n = X1.shape[0]
     n_valid = jnp.sum(valid.astype(jnp.int32))
     valid_idx = jnp.argsort(~valid)
     picks = jax.random.randint(key, (n_hypotheses, 3), 0, jnp.maximum(n_valid, 3))
     sets = valid_idx[picks]
 
-    def project(P):
-        z = jnp.where(jnp.abs(P[:, 2]) < 1e-9, 1e-9, P[:, 2])
-        return jnp.stack([fx * P[:, 0] / z + cx, fy * P[:, 1] / z + cy], axis=-1)
-
     def count_inliers(s, R, t):
-        # 1 -> 2.
-        X1in2 = s * (X1 @ R.T) + t
-        e2 = jnp.sum((project(X1in2) - uv2) ** 2, axis=-1)
-        # 2 -> 1.
-        sinv = 1.0 / s
-        Rinv = R.T
-        tinv = -sinv * (Rinv @ t)
-        X2in1 = sinv * (X2 @ Rinv.T) + tinv
-        e1 = jnp.sum((project(X2in1) - uv1) ** 2, axis=-1)
-        inl = valid & (e1 < chi2_1) & (e2 < chi2_2)
-        return inl
+        return sim3_chi2_inliers(K, s, R, t, X1, X2, uv1, uv2, chi2_1, chi2_2, valid)
 
     def try_one(idx3):
         w3 = jnp.zeros(n).at[idx3].set(1.0)
