@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from tpuslam.geometry.camera import PinholeCamera, project
 from tpuslam.geometry.se3 import se3_apply, se3_compose, se3_inverse
 from tpuslam.geometry.triangulation import triangulate_two_view
-from tpuslam.mapstate.core import FrameFeatures, MapState
+from tpuslam.mapstate.core import FrameFeatures, MapState, observation_incidence
 from tpuslam.matching.hamming import hamming_matrix
 from tpuslam.matching.search import (
     TH_HIGH,
@@ -341,17 +341,24 @@ def build_local_ba_problem(
     window: int,
     max_edges: int,
 ):
-    """Assemble a BAProblem over the `window` most recent keyframes.
+    """Assemble a BAProblem over the center KF's covisibility neighborhood.
 
     The reference optimizes the covisibility neighborhood of the newest KF
     with all other observers fixed (Optimizer::LocalBundleAdjustment,
-    /root/reference/src/Optimizer.cc:453-504); with a recency window the
-    active set is the same for exploratory motion. Fixed set: every other
-    valid KF (boundary) + KF 0 (gauge).
+    /root/reference/src/Optimizer.cc:453-504). Active set: the center KF and
+    every keyframe sharing >= 15 map points with it (KeyFrame::
+    UpdateConnections threshold); when no keyframe clears the threshold
+    (sparse early map) the `window` most recent keyframes are used instead.
+    Fixed set: every other valid KF (boundary) + KF 0 (gauge).
     """
     K, N = m.kf_obs_pt.shape
-    active = m.kf_valid & (jnp.arange(K) > center_kf - window) & (
-        jnp.arange(K) <= center_kf
+    idx = jnp.arange(K)
+    recency = m.kf_valid & (idx > center_kf - window) & (idx <= center_kf)
+    inc = observation_incidence(m)  # (K, P)
+    shared = inc @ inc[center_kf]   # shared-point counts with the center
+    covis = m.kf_valid & (shared >= 15.0) & (idx != center_kf)
+    active = jnp.where(
+        jnp.any(covis), covis | (m.kf_valid & (idx == center_kf)), recency
     )
     fixed_kf = m.kf_valid & ~active | (jnp.arange(K) == 0)
 
@@ -383,8 +390,9 @@ def local_bundle_adjustment(
     iters: int = 8,
     n_levels: int = 8,
 ):
-    """Local BA over the recent-KF window; writes optimized poses/points back
-    into the map and invalidates outlier observations (Optimizer.cc:659-757).
+    """Local BA over the center KF's covisibility neighborhood; writes
+    optimized poses/points back into the map and invalidates outlier
+    observations (Optimizer.cc:659-757).
 
     Returns the updated MapState.
     """

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpuslam.geometry.camera import PinholeCamera, undistort_points
-from tpuslam.geometry.se3 import se3_compose, se3_inverse
+from tpuslam.geometry.se3 import se3_apply, se3_compose, se3_inverse
 from tpuslam.mapstate.core import (
     FrameFeatures,
     MapState,
@@ -113,11 +113,20 @@ class Tracker:
         # Async mapping worker (single-slot, mirrors SetAcceptKeyFrames).
         self._mapping_future = None
         self._mapping_pool = None
+        # Async global BA (the reference's transient, abortable GBA thread,
+        # LoopClosing.cc:579,645): a generation counter plays mnFullBAIdx —
+        # results from a superseded generation are discarded (:416,658).
+        self._gba_pool = None
+        self._gba_future = None
+        self._gba_generation = 0
         if config.async_mapping:
             import concurrent.futures
 
             self._mapping_pool = concurrent.futures.ThreadPoolExecutor(
                 max_workers=1, thread_name_prefix="local-mapping"
+            )
+            self._gba_pool = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="global-ba"
             )
         # Loop closing (scale fixed once depth-based init is used).
         self._depth_mode = False
@@ -313,6 +322,74 @@ class Tracker:
         R, t, X, _ = bundle_adjustment(self.cfg.cam, prob, iters=iters)
         return m._replace(kf_R=R, kf_t=t, pt_xyz=X)
 
+    # ------------------------------------------- global BA (async, abortable)
+
+    def _gba_job(self, m_snap: MapState, gen: int, iters: int):
+        """Chunked global BA over a map snapshot; aborts between chunks when
+        a newer generation supersedes it (the reference's mbStopGBA poll via
+        g2o's force-stop flag, LoopClosing.cc:414-423, Optimizer.cc:65-66)."""
+        chunk = 5
+        mm = m_snap
+        done = 0
+        while done < iters:
+            if gen != self._gba_generation:
+                return None  # aborted
+            mm = self._global_ba(mm, iters=min(chunk, iters - done))
+            done += chunk
+        return mm.kf_R, mm.kf_t, mm.pt_xyz, gen, int(m_snap.n_kf), int(m_snap.n_pt)
+
+    def _schedule_gba(self, m: MapState, iters: int = 10) -> MapState:
+        """Run global BA for a freshly corrected loop. Synchronous without the
+        async worker; otherwise dispatched to the GBA thread, aborting any
+        stale run (LoopClosing::CorrectLoop :411-423)."""
+        self._gba_generation += 1
+        if self._gba_pool is None:
+            return self._global_ba(m, iters=iters)
+        if self._gba_future is not None and not self._gba_future.done():
+            # The bumped generation makes the running job exit at its next
+            # chunk boundary; don't block on it.
+            pass
+        self._gba_future = self._gba_pool.submit(
+            self._gba_job, m, self._gba_generation, iters
+        )
+        return m
+
+    def _poll_gba(self, m: MapState) -> MapState:
+        """Adopt a finished global BA into the (possibly advanced) map:
+        snapshot keyframes/points take the optimized estimates directly;
+        keyframes and points created during the run are corrected through
+        the last snapshot keyframe / their reference keyframe (the spanning-
+        tree propagation of LoopClosing::RunGlobalBundleAdjustment
+        :677-737)."""
+        f = self._gba_future
+        if f is None or not f.done():
+            return m
+        self._gba_future = None
+        res = f.result()
+        if res is None:
+            return m
+        R_g, t_g, X_g, gen, n_kf_s, n_pt_s = res
+        if gen != self._gba_generation:
+            return m  # superseded (mnFullBAIdx mismatch, :658)
+        K = m.capacity_kf
+        idx_k = jnp.arange(K)
+        anchor = n_kf_s - 1
+        # Post-snapshot KFs: T_k_new = (T_k ∘ T_anchor^-1) ∘ T_anchor_gba.
+        Ra_i, ta_i = se3_inverse(m.kf_R[anchor], m.kf_t[anchor])
+        Rrel, trel = se3_compose(m.kf_R, m.kf_t, Ra_i, ta_i)
+        R_post, t_post = se3_compose(Rrel, trel, R_g[anchor], t_g[anchor])
+        pre_k = (idx_k < n_kf_s)[:, None]
+        R_new = jnp.where(pre_k[..., None], R_g, R_post)
+        t_new = jnp.where(pre_k, t_g, t_post)
+        # Post-snapshot points: preserve camera-frame coords in the ref KF.
+        ref = jnp.clip(m.pt_ref_kf, 0, K - 1)
+        Xc = se3_apply(m.kf_R[ref], m.kf_t[ref], m.pt_xyz)
+        Rr_i, tr_i = se3_inverse(R_new[ref], t_new[ref])
+        X_post = se3_apply(Rr_i, tr_i, Xc)
+        pre_p = (jnp.arange(m.capacity_pt) < n_pt_s)[:, None]
+        X_new = jnp.where(pre_p, X_g, X_post)
+        return m._replace(kf_R=R_new, kf_t=t_new, pt_xyz=X_new)
+
     # ------------------------------------------------------------- tracking
 
     def _predict_pose(self):
@@ -459,16 +536,40 @@ class Tracker:
             self._adopt_mapping_result(f.result())
             self._mapping_future = None
 
+    @staticmethod
+    def _best_covisible(m, ki_int, n: int):
+        """Indices of the up-to-n keyframes sharing the most map points with
+        keyframe ki_int (KeyFrame::GetBestCovisibilityKeyFrames semantics,
+        /root/reference/src/KeyFrame.cc:226). Falls back to the n most
+        recent keyframes when no covisibility edges exist yet."""
+        from tpuslam.mapstate.core import observation_incidence
+
+        inc = observation_incidence(m)
+        shared = np.array(inc @ inc[ki_int])  # np.array: writable copy
+        shared[ki_int] = 0.0
+        shared[~np.asarray(m.kf_valid)] = 0.0
+        order = np.argsort(-shared)[:n]
+        best = [int(k) for k in order if shared[k] > 0]
+        if not best:
+            best = list(range(max(ki_int - n, 0), ki_int))
+        return best
+
     def _mapping_compute(self, m, ki_int):
         """The LocalMapping + LoopClosing work for one new keyframe, as a
         pure snapshot -> snapshot function (runs on the worker thread in
         async mode)."""
         cfg = self.cfg
-        # Triangulate new points against up to 3 recent keyframes with
-        # adequate baseline (LocalMapping::CreateNewMapPoints iterates the
-        # best covisible neighbors, LocalMapping.cc:207-244; recency is the
-        # same set under exploratory motion).
-        for prev in range(max(ki_int - 3, 0), ki_int):
+        # Adopt a finished (non-superseded) global BA first — the reference
+        # applies GBA results under the map lock with LocalMapping stopped
+        # (LoopClosing.cc:656-737); here the single mapping worker owns the
+        # snapshot, so the merge is race-free by construction.
+        m = self._poll_gba(m)
+        # Triangulate new points against the best covisible keyframes
+        # (LocalMapping::CreateNewMapPoints iterates the best covisible
+        # neighbors, LocalMapping.cc:207-244). Falls back to recency while
+        # the new KF has no covisibility edges yet (fresh map).
+        neighbors = self._best_covisible(m, ki_int, 3)
+        for prev in neighbors:
             (xyz, desc, nvec, min_d, max_d, slot_new, slot_old, good) = (
                 steps.triangulate_new_points(
                     cfg.cam, m, jnp.int32(ki_int), jnp.int32(prev), self.inv_sigma2,
@@ -489,18 +590,20 @@ class Tracker:
             )
         # Recent-point culling (LocalMapping::MapPointCulling).
         m = steps.cull_map_points(m, jnp.int32(ki_int))
-        # Duplicate-point fusion with recent neighbors
+        # Duplicate-point fusion with the best covisible neighbors
         # (LocalMapping::SearchInNeighbors).
-        for prev in range(max(ki_int - 3, 0), ki_int):
+        for prev in self._best_covisible(m, ki_int, 3):
             m = steps.fuse_map_points(
                 cfg.cam, m, jnp.int32(ki_int), jnp.int32(prev), self.inv_sigma2,
                 scale_factor=cfg.orb.scale_factor, n_levels=cfg.orb.n_levels,
             )
         # Redundant-keyframe culling (LocalMapping::KeyFrameCulling); protect
-        # the origin pair, the current KF, and the recent window.
+        # the origin pair, the current KF, and its local (covisible + recent)
+        # neighborhood.
         protect = np.zeros(m.capacity_kf, bool)
         protect[:2] = True
         protect[max(ki_int - cfg.local_ba_window, 0) : ki_int + 1] = True
+        protect[self._best_covisible(m, ki_int, cfg.local_ba_window)] = True
         m, culled = steps.cull_keyframes(m, jnp.int32(ki_int), jnp.asarray(protect))
         # Local BA around the new keyframe.
         m = steps.local_bundle_adjustment(
@@ -514,7 +617,7 @@ class Tracker:
             self.loop_closer.fix_scale = self._depth_mode
             m2, closed = self.loop_closer.on_keyframe(
                 m, cfg.cam, ki_int,
-                ba_fn=lambda mm: self._global_ba(mm, iters=10),
+                ba_fn=lambda mm: self._schedule_gba(mm, iters=10),
             )
             if closed:
                 m = update_point_normals(m2, self.scale_factors)
@@ -622,6 +725,9 @@ class Tracker:
         /root/reference/src/System.cc:306, Tracking.cc:1556): clear the map,
         the loop-closing state, and return to NOT_INITIALIZED."""
         self._join_mapping()
+        # Abort + discard any in-flight global BA (stale generation).
+        self._gba_generation += 1
+        self._gba_future = None
         self.map = make_empty_map(
             self.cfg.max_keyframes, self.kp_capacity, self.cfg.max_points
         )
@@ -818,6 +924,9 @@ class Tracker:
 
     def export_trajectory(self):
         self._join_mapping()
+        if self._gba_future is not None:
+            self._gba_future.result()  # let a running GBA finish, then merge
+            self.map = self._poll_gba(self.map)
         """Final camera trajectory: compose each frame's stored relative pose
         with its (optimized) reference keyframe pose
         (System::SaveTrajectoryTUM semantics). Returns list of
