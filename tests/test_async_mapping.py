@@ -54,3 +54,77 @@ class TestAsyncMapping:
         assert ate < 0.06, f"async stereo ATE {ate:.4f}"
         # The worker must be drained by export_trajectory.
         assert sys_.tracker._mapping_future is None
+
+
+class TestAsyncGlobalBA:
+    """Abortable async global BA with generation semantics (the reference's
+    transient GBA thread + mnFullBAIdx, LoopClosing.cc:579,645-737)."""
+
+    def _tracker_and_map(self):
+        from test_loop_closing import build_loop_map, CAM as LCAM
+        from tpuslam.pipeline.tracker import Tracker, TrackerConfig
+
+        from tpuslam.geometry import se3_apply
+
+        rng = np.random.default_rng(3)
+        m, gt, drifted = build_loop_map(rng, drift=0.0)
+        # Perturb point positions so GBA has real work to do — but only
+        # points comfortably in front of every observing camera (the builder
+        # is not frustum-gated; near-plane points turn metric noise into
+        # unbounded pixel error that no BA can fix).
+        min_z = np.full(m.capacity_pt, np.inf, np.float32)
+        for k in range(int(m.n_kf)):
+            obs = np.asarray(m.kf_obs_pt[k])
+            has = obs >= 0
+            Xc = np.asarray(
+                se3_apply(m.kf_R[k], m.kf_t[k], m.pt_xyz[np.maximum(obs, 0)])
+            )
+            np.minimum.at(min_z, obs[has], Xc[has, 2])
+        safe = np.asarray(m.pt_valid) & (min_z > 1.0)
+        noise = rng.normal(0, 0.02, m.pt_xyz.shape).astype(np.float32)
+        m = m._replace(
+            pt_xyz=jnp.where(jnp.asarray(safe)[:, None], m.pt_xyz + noise, m.pt_xyz)
+        )
+        tr = Tracker(TrackerConfig(cam=LCAM, max_keyframes=24, max_points=2400,
+                                   async_mapping=True, enable_loop_closing=False))
+        return tr, m
+
+    def _mean_reproj(self, cam, m):
+        from tpuslam.geometry import se3_apply, project
+
+        err, n = 0.0, 0
+        for k in range(int(m.n_kf)):
+            obs = np.asarray(m.kf_obs_pt[k])
+            has = obs >= 0
+            X = np.asarray(m.pt_xyz)[np.maximum(obs, 0)]
+            uv = np.asarray(project(cam, se3_apply(m.kf_R[k], m.kf_t[k], jnp.asarray(X))))
+            e = np.linalg.norm(uv - np.asarray(m.kf_kp_xy[k]), axis=-1)
+            err += float(e[has].sum())
+            n += int(has.sum())
+        return err / max(n, 1)
+
+    def test_gba_runs_async_and_merges(self):
+        tr, m = self._tracker_and_map()
+        e0 = self._mean_reproj(tr.cfg.cam, m)
+        out = tr._schedule_gba(m, iters=10)
+        assert out is m  # async: returns immediately, result adopted later
+        assert tr._gba_future is not None
+        tr._gba_future.result()
+        m2 = tr._poll_gba(m)
+        assert tr._gba_future is None
+        e1 = self._mean_reproj(tr.cfg.cam, m2)
+        assert e1 < 0.5 * e0, (e0, e1)
+
+    def test_stale_generation_is_discarded(self):
+        tr, m = self._tracker_and_map()
+        tr._schedule_gba(m, iters=10)
+        f = tr._gba_future
+        # A newer closure supersedes the running job (mnFullBAIdx bump).
+        tr._gba_generation += 1
+        res = f.result()
+        m2 = tr._poll_gba(m)
+        # Either the job aborted (None) or its result was discarded by the
+        # generation check — the map must be unchanged.
+        assert res is None or m2 is m
+        if res is not None:
+            assert np.allclose(np.asarray(m2.kf_R), np.asarray(m.kf_R))
