@@ -1,0 +1,95 @@
+"""Distributed BA on the virtual 8-device CPU mesh: both decompositions
+(observation-parallel GSPMD and point-sharded shard_map) must match the
+single-device solver."""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from tpuslam.optim.ba import bundle_adjustment
+from tpuslam.parallel.dist_ba import (
+    distributed_bundle_adjustment,
+    make_mesh,
+    point_sharded_bundle_adjustment,
+    route_edges_to_point_shards,
+)
+
+
+def _problem(rng, P=128):
+    from __graft_entry__ import _synthetic_ba_problem
+
+    return _synthetic_ba_problem(rng, K=6, P=P, n_obs_per_kf=64)
+
+
+def _mean_chi2(prob, chi2):
+    v = np.asarray(prob.valid)
+    return float(np.asarray(chi2)[v].mean())
+
+
+class TestDistributedBA:
+    """Both decompositions are algebraically identical to the single-device
+    solver (same sums, different reduction order). The solver's trace-
+    relative Hll/Hpp damping floor keeps the 3x3 point-block inverses
+    insensitive to that ordering, so parameters agree tightly."""
+
+    def test_observation_parallel_matches_single(self, rng):
+        cam, prob = _problem(rng)
+        mesh = make_mesh(8)
+        R1, t1, X1, c1 = jax.jit(
+            lambda p: bundle_adjustment(cam, p, iters=4, cg_iters=20)
+        )(prob)
+        R2, t2, X2, c2 = distributed_bundle_adjustment(
+            cam, prob, mesh, iters=4, cg_iters=20
+        )
+        np.testing.assert_allclose(np.asarray(R1), np.asarray(R2), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(X1), np.asarray(X2), atol=1e-3)
+        # And it genuinely converges.
+        _, _, _, c0 = jax.jit(
+            lambda p: bundle_adjustment(cam, p, iters=0, cg_iters=1)
+        )(prob)
+        assert _mean_chi2(prob, c2) < 0.05 * _mean_chi2(prob, c0)
+
+    def test_point_sharded_matches_single(self, rng):
+        cam, prob = _problem(rng)
+        mesh = jax.sharding.Mesh(np.array(jax.devices()[:8]), ("points",))
+        R1, t1, X1, c1 = jax.jit(
+            lambda p: bundle_adjustment(cam, p, iters=4, cg_iters=20)
+        )(prob)
+        R2, t2, X2, c2 = point_sharded_bundle_adjustment(
+            cam, prob, mesh, iters=4, cg_iters=20
+        )
+        np.testing.assert_allclose(np.asarray(R1), np.asarray(R2), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(X1), np.asarray(X2), atol=1e-3)
+        # chi2 comes back in the original edge order.
+        v = np.asarray(prob.valid)
+        np.testing.assert_allclose(
+            np.asarray(c1)[v], np.asarray(c2)[v], atol=5e-2
+        )
+
+    def test_edge_routing_round_trip(self, rng):
+        _, prob = _problem(rng)
+        n = 8
+        routed, perm = route_edges_to_point_shards(prob, n)
+        E_pad = routed.kf.shape[0]
+        assert E_pad % n == 0
+        per = E_pad // n
+        blk = prob.X.shape[0] // n
+        pt_r = np.asarray(routed.pt)
+        valid_r = np.asarray(routed.valid)
+        # Every routed edge's point lies in its shard's block.
+        for s in range(n):
+            seg = slice(s * per, (s + 1) * per)
+            assert np.all((pt_r[seg] >= s * blk) & (pt_r[seg] < (s + 1) * blk))
+        # Real edges map back to the original arrays.
+        keep = perm >= 0
+        assert keep.sum() == prob.kf.shape[0]
+        np.testing.assert_array_equal(
+            np.asarray(routed.kf)[keep], np.asarray(prob.kf)[perm[keep]]
+        )
+        assert not valid_r[~keep].any()

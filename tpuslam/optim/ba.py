@@ -128,12 +128,20 @@ def bundle_adjustment(
     use_huber: bool = True,
     cg_iters: int = 40,
     lam0: float = 1e-4,
+    axis_name: str | None = None,
 ):
     """Run `iters` LM steps. Returns (R, t, X, edge_chi2).
 
     The caller implements the reference's two-phase schedule (5 iterations,
     prune chi2 outliers, 10 more — Optimizer.cc:659-757) by calling this
     twice with a tightened `valid` mask; chi2 per edge is returned for that.
+
+    axis_name: when set, the solver runs as the per-shard body of a
+    `shard_map` over that mesh axis — edge and point arrays are this shard's
+    block, pose state is replicated, and every pose-indexed reduction (the
+    normal-equation assembly, the Schur coupling, the robust objective) is
+    psum'd across the axis. All shards then walk identical replicated pose
+    iterates while point work stays local (SURVEY.md §2.4 P7).
     """
     K = prob.R.shape[0]
     P = prob.X.shape[0]
@@ -143,6 +151,9 @@ def bundle_adjustment(
     info = prob.inv_sigma2
     eye6 = jnp.eye(6)
     eye3 = jnp.eye(3)
+
+    def allreduce(x):
+        return jax.lax.psum(x, axis_name) if axis_name is not None else x
 
     def edge_chi2(R, t, X):
         r, _, _, _ = _edge_terms(cam, R, t, X, prob)
@@ -158,7 +169,7 @@ def bundle_adjustment(
             )
         else:
             rho = c
-        return jnp.sum(rho * active)
+        return allreduce(jnp.sum(rho * active))
 
     active0 = prob.valid.astype(jnp.float32)
 
@@ -184,15 +195,22 @@ def bundle_adjustment(
         bp_e = -jnp.einsum("eij,ei->ej", wJp, r)           # (E, 6)
         bl_e = -jnp.einsum("eij,ei->ej", w[:, None, None] * Jl, r)
 
-        Hpp = jnp.zeros((K, 6, 6)).at[prob.kf].add(Hpp_e)
+        Hpp = allreduce(jnp.zeros((K, 6, 6)).at[prob.kf].add(Hpp_e))
         Hll = jnp.zeros((P, 3, 3)).at[prob.pt].add(Hll_e)
-        bp = jnp.zeros((K, 6)).at[prob.kf].add(bp_e)
+        bp = allreduce(jnp.zeros((K, 6)).at[prob.kf].add(bp_e))
         bl = jnp.zeros((P, 3)).at[prob.pt].add(bl_e)
 
-        # LM damping (additive, like g2o's Levenberg lambda on the diagonal),
-        # and pin fixed/empty blocks to identity so every inverse exists.
-        Hpp = Hpp + lam * eye6[None] + 1e-10 * eye6[None]
-        Hll = Hll + lam * eye3[None] + 1e-10 * eye3[None]
+        # LM damping (additive, like g2o's Levenberg lambda on the diagonal)
+        # plus a trace-relative floor: points with a single mono observation
+        # have rank-2 Hll blocks whose float32 inverses are catastrophically
+        # sensitive to summation order (visible as divergence between sharded
+        # and single-device runs). The floor caps the block condition number
+        # at ~1e5, damping motion along the unobservable direction. Fixed /
+        # empty blocks are pinned to identity so every inverse exists.
+        tr3 = (Hll[..., 0, 0] + Hll[..., 1, 1] + Hll[..., 2, 2])[..., None, None]
+        tr6 = jnp.trace(Hpp, axis1=-2, axis2=-1)[..., None, None]
+        Hpp = Hpp + (lam + 1e-5 * tr6 + 1e-10) * eye6[None]
+        Hll = Hll + (lam + 1e-5 * tr3 + 1e-10) * eye3[None]
         kf_pinned = prob.fixed_kf
         pt_pinned = prob.fixed_pt
         Hpp = jnp.where(kf_pinned[:, None, None], eye6[None], Hpp)
@@ -210,13 +228,15 @@ def bundle_adjustment(
             ysum = jnp.zeros((P, 3)).at[prob.pt].add(y)
             z = jnp.einsum("pij,pj->pi", Hll_inv, ysum)
             u = jnp.einsum("eij,ej->ei", W_e, z[prob.pt])
-            coupling = jnp.zeros((K, 6)).at[prob.kf].add(u)
+            coupling = allreduce(jnp.zeros((K, 6)).at[prob.kf].add(u))
             return jnp.einsum("kij,kj->ki", Hpp, vk) - coupling
 
         # Schur RHS.
         z0 = jnp.einsum("pij,pj->pi", Hll_inv, bl)
-        rhs = bp - jnp.zeros((K, 6)).at[prob.kf].add(
-            jnp.einsum("eij,ej->ei", W_e, z0[prob.pt])
+        rhs = bp - allreduce(
+            jnp.zeros((K, 6)).at[prob.kf].add(
+                jnp.einsum("eij,ej->ei", W_e, z0[prob.pt])
+            )
         )
 
         # Block-Jacobi PCG on S dx = rhs.
