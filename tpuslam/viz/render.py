@@ -44,11 +44,14 @@ def render_map_topdown(
     trajectory: list | None = None,
     size: int = 800,
     axes=(0, 2),
+    covis_threshold: int = 15,
 ):
     """Top-down (x-z by default) map render. Returns a PIL Image.
 
-    Black dots: map points; blue squares: keyframes; green line: frame
-    trajectory (camera centers).
+    Black dots: map points; blue squares: keyframes; light-blue lines:
+    covisibility-graph edges (>= covis_threshold shared points, like
+    MapDrawer::DrawKeyFrames' graph pass, /root/reference/src/MapDrawer.cc:
+    131-152); green line: frame trajectory (camera centers).
     """
     from PIL import Image, ImageDraw
 
@@ -57,6 +60,14 @@ def render_map_topdown(
     kf_R = np.asarray(m.kf_R)[kf_valid]
     kf_t = np.asarray(m.kf_t)[kf_valid]
     centers = -np.einsum("kij,ki->kj", kf_R.transpose(0, 2, 1), kf_t) if len(kf_R) else np.zeros((0, 3))
+
+    covis_edges = []
+    if len(kf_R) > 1 and covis_threshold > 0:
+        from tpuslam.mapstate.core import covisibility_weights
+
+        w = np.asarray(covisibility_weights(m))[kf_valid][:, kf_valid]
+        ii, jj = np.nonzero(np.triu(w, 1) >= covis_threshold)
+        covis_edges = list(zip(ii.tolist(), jj.tolist()))
 
     traj_pts = []
     if trajectory:
@@ -86,6 +97,10 @@ def render_map_topdown(
     if len(pts):
         for x, y in to_px(pts):
             d.point((x, y), fill=(60, 60, 60))
+    if covis_edges:
+        cpx = to_px(centers)
+        for i, j in covis_edges:
+            d.line([tuple(cpx[i]), tuple(cpx[j])], fill=(150, 200, 255), width=1)
     if len(traj_pts) > 1:
         px = to_px(traj_pts)
         d.line([tuple(p) for p in px], fill=(0, 160, 0), width=2)
