@@ -67,6 +67,7 @@ class LoopCloser:
         self.fix_scale = fix_scale
         self.min_sim3_inliers = min_sim3_inliers
         self.min_total_matches = min_total_matches
+        self._tried_default = False
         self._bow = {}
         self._consistent_groups = []  # list[(set(kf_ids), count)]
         self._last_loop_kf = -1
@@ -80,7 +81,22 @@ class LoopCloser:
     def _ensure_vocabulary(self, m: MapState):
         if self.voc is not None:
             return True
-        # Train once enough descriptors are in the map (>= 3 KFs).
+        # Shipped default vocabulary (the reference loads ORBvoc.txt at
+        # startup, System.cc:73; ours is trained by
+        # tools/build_default_vocab.py and replaceable via the voc arg).
+        if not self._tried_default:
+            self._tried_default = True
+            import os
+
+            path = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "data",
+                "default_vocab.npz",
+            )
+            if os.path.exists(path):
+                self.voc = Vocabulary.load(path)
+                return True
+        # Else train once enough descriptors are in the map (>= 3 KFs).
         n_kf = int(m.n_kf)
         if n_kf < 3:
             return False
