@@ -26,6 +26,24 @@ def test_pallas_gather_matches_xla(rng):
     np.testing.assert_allclose(got, expected, rtol=0, atol=1e-4)
 
 
+def test_pallas_gather_uint8_and_bf16(rng):
+    """The atlas dtype knob (ops/orb.py ships uint8): per-dtype row
+    alignment (32/16) and exact bf16 one-hot un-shift."""
+    Ha, Wa = 200, 300
+    n = 21
+    vals = rng.integers(0, 256, (Ha, Wa))
+    corner = jnp.asarray(
+        np.stack(
+            [rng.integers(0, Ha - PSIZE, n), rng.integers(0, Wa - PSIZE, n)], -1
+        ).astype(np.int32)
+    )
+    for dt in (np.uint8, jnp.bfloat16):
+        atlas = jnp.asarray(vals.astype(np.float32)).astype(dt)
+        expected = np.asarray(gather_patches_xla(atlas, corner))
+        got = np.asarray(gather_patches_pallas(atlas, corner, interpret=True))
+        np.testing.assert_array_equal(got, expected)
+
+
 def test_pallas_gather_edge_corners(rng):
     """Corners at the extreme valid positions (alignment padding paths)."""
     Ha, Wa = 128, 200

@@ -44,17 +44,7 @@ import numpy as np
 from tpuslam.ops.image import build_pyramid, gaussian_blur, pyramid_shapes
 from tpuslam.ops.patches import gather_patches
 
-# FAST-9/16 Bresenham circle of radius 3, clockwise from 12 o'clock:
-# (dx, dy) pixel offsets.
-_FAST_OFFSETS = np.array(
-    [
-        (0, -3), (1, -3), (2, -2), (3, -1),
-        (3, 0), (3, 1), (2, 2), (1, 3),
-        (0, 3), (-1, 3), (-2, 2), (-3, 1),
-        (-3, 0), (-3, -1), (-2, -2), (-1, -3),
-    ],
-    dtype=np.int32,
-)
+from tpuslam.ops.orb_common import FAST_OFFSETS as _FAST_OFFSETS
 
 # Border in which no keypoint may lie: EDGE_THRESHOLD - 3 = 16 in the
 # reference (ORBextractor.cc minBorderX), which is what the quadtree cells
@@ -172,6 +162,19 @@ def fast_response(img: jnp.ndarray, min_th: float) -> jnp.ndarray:
     score_dark = jnp.max(arc9_min(-d), axis=0)
     score = jnp.maximum(score_bright, score_dark)
     return jnp.where(score > min_th, score, 0.0)
+
+
+def fast_nms(img: jnp.ndarray, min_th: float) -> jnp.ndarray:
+    """NMS'd FAST score map: fused Pallas kernel on TPU (ops/fast_pallas.py),
+    XLA elementwise path elsewhere. The two agree away from the 3 px image
+    border, which the 16 px detection border masks anyway."""
+    from tpuslam.ops.patches import _use_pallas
+
+    if _use_pallas():
+        from tpuslam.ops.fast_pallas import fast_nms_pallas
+
+        return fast_nms_pallas(img, float(min_th))
+    return _nms3(fast_response(img, min_th))
 
 
 def _nms3(score: jnp.ndarray) -> jnp.ndarray:
@@ -312,7 +315,12 @@ def _orient_and_describe_at(atlas: jnp.ndarray, corner: jnp.ndarray):
     m01 = jnp.sum(praw * _M01[None], axis=(1, 2))
     angle = jnp.arctan2(m01, m10)
 
-    pblur = _blur_patches(praw)
+    # Rounding the blurred patch to integers mirrors the reference, which
+    # Gaussian-blurs an 8-bit image into an 8-bit image
+    # (ORBextractor.cc:1300-1315) — and makes every pixel value exactly
+    # representable in bfloat16 (integers 0..255), so the one-hot sampling
+    # matmuls below are bit-exact in a single bf16 MXU pass.
+    pblur = jnp.round(_blur_patches(praw)).astype(jnp.bfloat16)
     pat = jnp.asarray(BRIEF_PATTERN, dtype=jnp.float32)
     ca, sa = jnp.cos(angle), jnp.sin(angle)
     px = pat[None, :, :, 0]
@@ -321,17 +329,19 @@ def _orient_and_describe_at(atlas: jnp.ndarray, corner: jnp.ndarray):
     rows = jnp.round(px * sa[:, None, None] + py * ca[:, None, None]).astype(jnp.int32)
     # Sample the 512 rotated pattern points with a one-hot row matmul (MXU)
     # followed by a one-hot column weighted reduce (VPU) — 7x faster on TPU
-    # than a within-patch take_along_axis gather, and bit-identical to it at
-    # HIGHEST precision (one-hot products copy pixels exactly).
+    # than a within-patch take_along_axis gather, and exact (each output sums
+    # exactly one integer-valued product).
     r = (rows + _CENTER_BLUR).reshape(n, 2 * _N_PAIRS)
     c = (cols + _CENTER_BLUR).reshape(n, 2 * _N_PAIRS)
     i_blur = jnp.arange(_BLUR_PATCH)
-    row_onehot = (r[..., None] == i_blur).astype(jnp.float32)  # (N, 512, 41)
+    row_onehot = (r[..., None] == i_blur).astype(jnp.bfloat16)  # (N, 512, 41)
     t = jax.lax.dot_general(
         row_onehot, pblur, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
-    )  # (N, 512, 41) = pblur rows at each sample's row index
-    vals = jnp.sum(t * (c[..., None] == i_blur), axis=-1).reshape(n, _N_PAIRS, 2)
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.bfloat16)  # (N, 512, 41) = pblur rows at each sample's row
+    vals = jnp.sum(
+        t * (c[..., None] == i_blur).astype(jnp.bfloat16), axis=-1, dtype=jnp.float32
+    ).reshape(n, _N_PAIRS, 2)
     bits = (vals[:, :, 0] < vals[:, :, 1]).astype(jnp.uint32).reshape(n, 8, 32)
     desc = jnp.sum(
         bits << jnp.arange(32, dtype=jnp.uint32)[None, None, :], axis=-1, dtype=jnp.uint32
@@ -362,14 +372,18 @@ def extract_orb(img: jnp.ndarray, config: ORBConfig) -> ORBFeatures:
     for l, (lvl_img, n_l) in enumerate(zip(levels, budgets)):
         if n_l <= 0:
             continue
-        score = _nms3(fast_response(lvl_img, config.min_th_fast))
+        score = fast_nms(lvl_img, config.min_th_fast)
         xy, resp, valid = _select_level_keypoints(
             score, n_l, config.cell_size, config.ini_th_fast
         )
         # Edge-padded level block appended to the atlas; detection-border
         # margins guarantee every 47x47 patch stays inside its own block.
+        # The atlas is stored as uint8 (the reference's images are 8-bit,
+        # ORBextractor.cc works on 8U Mats) — 4x less patch-gather DMA
+        # traffic; see ops/patches.py.
         blk = jnp.pad(lvl_img, _PAD, mode="edge")
         blk = jnp.pad(blk, ((0, 0), (0, W_atlas - blk.shape[1])))
+        blk = jnp.clip(jnp.round(blk), 0.0, 255.0).astype(jnp.uint8)
         atlas_rows.append(blk)
         cy = jnp.clip(xy[:, 1] + _PAD - _CENTER_RAW + row_off, 0, None)
         cx = jnp.clip(xy[:, 0] + _PAD - _CENTER_RAW, 0, None)

@@ -103,15 +103,33 @@ def pose_optimization(
     info = obs.inv_sigma2
 
     def edge_chi2(R, t):
-        r, _, stereo = _residual_jacobian(cam, R, t, obs)
-        return jnp.sum(r * r, axis=-1) * info
+        """Residual-only chi2 (no Jacobians — keeps the trial-point eval
+        cheap; the structure mirrors _residual_jacobian's projection)."""
+        p = (R @ obs.pts_w[..., None])[..., 0] + t
+        z = jnp.where(jnp.abs(p[:, 2]) < 1e-6, 1e-6, p[:, 2])
+        u = cam.fx * p[:, 0] / z + cam.cx
+        v = cam.fy * p[:, 1] / z + cam.cy
+        ur = u - cam.bf / z
+        du = obs.uvr[:, 0] - u
+        dv = obs.uvr[:, 1] - v
+        dur = jnp.where(stereo_mask, obs.uvr[:, 2] - ur, 0.0)
+        return (du * du + dv * dv + dur * dur) * info
+
+    delta_sq = jnp.where(stereo_mask, CHI2_STEREO, CHI2_MONO)
 
     def lm_round(R, t, active, use_huber):
+        def rho_sum(chi2):
+            rho = jnp.where(
+                use_huber & (chi2 > delta_sq),
+                2.0 * jnp.sqrt(delta_sq * jnp.maximum(chi2, 1e-12)) - delta_sq,
+                chi2,
+            )
+            return jnp.sum(rho * active)
+
         def body(_, carry):
             R, t, lam = carry
             r, J, stereo = _residual_jacobian(cam, R, t, obs)
             chi2 = jnp.sum(r * r, axis=-1) * info
-            delta_sq = jnp.where(stereo_mask, CHI2_STEREO, CHI2_MONO)
             if use_huber:
                 w = jnp.minimum(1.0, jnp.sqrt(delta_sq / jnp.maximum(chi2, 1e-12)))
             else:
@@ -122,20 +140,15 @@ def pose_optimization(
             # negation: dx = -(H + lam I)^-1 J^T W r.
             b = -jnp.einsum("nij,n,ni->j", J, w, r)
             H_lm = H + lam * jnp.eye(6)
+            # NOTE: measured on v5e — XLA's LU solve (4.5 us fixed cost) beats
+            # an unrolled scalar Cholesky here (the 150-op scalar dependency
+            # chain is slower than the kernel); solve_spd wins only batched.
             dx = jnp.linalg.solve(H_lm, b)
             R_new, t_new = se3_compose(*se3_exp(dx), R, t)
-            # Accept if robust total error decreases.
-            def total_err(Ra, ta):
-                c = edge_chi2(Ra, ta)
-                rho = jnp.where(
-                    use_huber & (c > delta_sq),
-                    2.0 * jnp.sqrt(delta_sq * jnp.maximum(c, 1e-12)) - delta_sq,
-                    c,
-                )
-                return jnp.sum(rho * active)
-
-            e_old = total_err(R, t)
-            e_new = total_err(R_new, t_new)
+            # Accept if robust total error decreases (e_old reuses the chi2
+            # already computed at the current point).
+            e_old = rho_sum(chi2)
+            e_new = rho_sum(edge_chi2(R_new, t_new))
             ok = e_new < e_old
             R = jnp.where(ok, R_new, R)
             t = jnp.where(ok, t_new, t)
