@@ -191,3 +191,26 @@ class TestStereo:
         assert abs(med_disp - d) < 0.5, f"median disparity {med_disp} != {d}"
         med_depth = np.median(np.asarray(depth)[v])
         assert abs(med_depth - bf / d) < 0.5
+
+
+class TestBatchedExtraction:
+    def test_batched_matches_single(self, rng):
+        """extract_orb_batched(B streams) == per-stream extract_orb."""
+        from tpuslam.ops.orb import extract_orb_batched
+
+        cfg = ORBConfig(n_features=120, n_levels=4)
+        imgs = np.stack([random_texture(rng, 144, 192) for _ in range(3)])
+        fb = extract_orb_batched(jnp.asarray(imgs), cfg)
+        for b in range(3):
+            f1 = extract_orb(jnp.asarray(imgs[b]), cfg)
+            np.testing.assert_array_equal(np.asarray(fb.valid[b]), np.asarray(f1.valid))
+            m = np.asarray(f1.valid)
+            np.testing.assert_allclose(
+                np.asarray(fb.xy[b])[m], np.asarray(f1.xy)[m], atol=1e-5
+            )
+            np.testing.assert_array_equal(
+                np.asarray(fb.desc[b])[m], np.asarray(f1.desc)[m]
+            )
+            np.testing.assert_allclose(
+                np.asarray(fb.angle[b])[m], np.asarray(f1.angle)[m], atol=1e-5
+            )

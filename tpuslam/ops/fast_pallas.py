@@ -37,13 +37,15 @@ def _shift_cols(v: jnp.ndarray, dx: int) -> jnp.ndarray:
     return pltpu.roll(v, -dx % v.shape[1], axis=1)
 
 
-def _make_kernel(H: int, W: int, Wp: int, min_th: float, n_strips: int):
+def _make_kernel(H: int, W: int, Wp: int, min_th: float, n_strips: int, rows_p: int):
     def kernel(p_ref, out_ref, s_ref, sem):
-        i = pl.program_id(0)
-        # Strip rows [i*TH, i*TH + TH + 2*HALO) of the padded image; interior
-        # image rows are at strip rows [HALO, HALO+TH).
+        g = pl.program_id(0)
+        b = g // n_strips   # batch stream (strips never cross streams)
+        i = g % n_strips
+        # Strip rows [i*TH, i*TH + TH + 2*HALO) of stream b's padded image;
+        # interior image rows are at strip rows [HALO, HALO+TH).
         dma = pltpu.make_async_copy(
-            p_ref.at[pl.ds(i * _TH, _TH + 2 * _HALO), :], s_ref, sem
+            p_ref.at[pl.ds(b * rows_p + i * _TH, _TH + 2 * _HALO), :], s_ref, sem
         )
         dma.start()
         dma.wait()
@@ -98,29 +100,37 @@ def _make_kernel(H: int, W: int, Wp: int, min_th: float, n_strips: int):
 def fast_nms_pallas(
     img: jnp.ndarray, min_th: float, interpret: bool = False
 ) -> jnp.ndarray:
-    """(H, W) float32 NMS'd FAST score map, fused on TPU.
+    """(..., H, W) float32 NMS'd FAST score map, fused on TPU.
 
     Matches _nms3(fast_response(img, min_th)) away from the 3 px image
-    border (see module docstring).
+    border (see module docstring). Leading batch dims (multi-stream
+    tracking) become extra grid steps of the same kernel.
     """
-    H, W = img.shape
+    *batch, H, W = img.shape
+    B = 1
+    for d in batch:
+        B *= d
+    img3 = img.reshape(B, H, W).astype(jnp.float32)
     n_strips = -(-H // _TH)
     Wp = -(-W // 128) * 128
-    p = jnp.zeros((n_strips * _TH + 2 * _HALO, Wp), jnp.float32)
-    p = jax.lax.dynamic_update_slice(p, img.astype(jnp.float32), (_HALO, 0))
+    rows_p = n_strips * _TH + 2 * _HALO
+    p = jnp.zeros((B, rows_p, Wp), jnp.float32)
+    p = jax.lax.dynamic_update_slice(p, img3, (0, _HALO, 0)).reshape(
+        B * rows_p, Wp
+    )
 
     out = pl.pallas_call(
-        _make_kernel(H, W, Wp, float(min_th), n_strips),
-        grid=(n_strips,),
+        _make_kernel(H, W, Wp, float(min_th), n_strips, rows_p),
+        grid=(B * n_strips,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)],
         out_specs=pl.BlockSpec(
-            (_TH, Wp), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (_TH, Wp), lambda g: (g, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((_TH + 2 * _HALO, Wp), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
-        out_shape=jax.ShapeDtypeStruct((n_strips * _TH, Wp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B * n_strips * _TH, Wp), jnp.float32),
         interpret=interpret,
     )(p)
-    return out[:H, :W]
+    return out.reshape(B, n_strips * _TH, Wp)[:, :H, :W].reshape(*batch, H, W)

@@ -174,7 +174,9 @@ def fast_nms(img: jnp.ndarray, min_th: float) -> jnp.ndarray:
         from tpuslam.ops.fast_pallas import fast_nms_pallas
 
         return fast_nms_pallas(img, float(min_th))
-    return _nms3(fast_response(img, min_th))
+    if img.ndim == 2:
+        return _nms3(fast_response(img, min_th))
+    return jax.vmap(lambda im: _nms3(fast_response(im, min_th)))(img)
 
 
 def _nms3(score: jnp.ndarray) -> jnp.ndarray:
@@ -350,59 +352,81 @@ def _orient_and_describe_at(atlas: jnp.ndarray, corner: jnp.ndarray):
 
 
 
-def extract_orb(img: jnp.ndarray, config: ORBConfig) -> ORBFeatures:
-    """Full ORB extraction for one grayscale image (H, W) float32 in [0, 255].
+def extract_orb_batched(imgs: jnp.ndarray, config: ORBConfig) -> ORBFeatures:
+    """ORB extraction for a batch of grayscale images (B, H, W) in [0, 255].
 
     Equivalent of ORBextractor::operator()
-    (/root/reference/src/ORBextractor.cc:1248): pyramid, per-level FAST +
-    uniform selection, then ONE fused orientation+descriptor pass over all
-    levels — the per-level edge-padded images are stacked into a single
+    (/root/reference/src/ORBextractor.cc:1248) over B independent streams:
+    pyramid, per-level FAST + uniform selection, then ONE fused
+    orientation+descriptor pass over all levels AND all streams — the
+    per-level edge-padded images of every stream are stacked into a single
     atlas so the patch gather, moments, blur, and BRIEF sampling run as one
-    batch of config.n_features keypoints. Output arrays have capacity
-    config.n_features with a validity mask; coordinates are level-0.
+    batch of B * config.n_features keypoints. Multi-stream batching is the
+    frames/s/chip lever: the tiny-op chains amortize their fixed per-op cost
+    across streams. Output arrays are (B, n_features, ...) with a validity
+    mask; coordinates are level-0.
     """
-    levels = build_pyramid(img, config.n_levels, config.scale_factor)
+    B = imgs.shape[0]
+    levels = jax.vmap(
+        lambda im: build_pyramid(im, config.n_levels, config.scale_factor)
+    )(imgs)  # list over levels of (B, H_l, W_l)
     budgets = config.level_budgets()
     scales = config.level_scales()
 
     xs, resps, valids, lvls, corners = [], [], [], [], []
-    atlas_rows = []
+    atlas_blocks = []
     row_off = 0
-    W_atlas = levels[0].shape[1] + 2 * _PAD
-    for l, (lvl_img, n_l) in enumerate(zip(levels, budgets)):
+    W_atlas = levels[0].shape[2] + 2 * _PAD
+    for l, (lvl_imgs, n_l) in enumerate(zip(levels, budgets)):
         if n_l <= 0:
             continue
-        score = fast_nms(lvl_img, config.min_th_fast)
-        xy, resp, valid = _select_level_keypoints(
-            score, n_l, config.cell_size, config.ini_th_fast
-        )
+        score = fast_nms(lvl_imgs, config.min_th_fast)  # (B, H_l, W_l)
+        xy, resp, valid = jax.vmap(
+            lambda s: _select_level_keypoints(
+                s, n_l, config.cell_size, config.ini_th_fast
+            )
+        )(score)  # (B, n_l, 2), (B, n_l), (B, n_l)
         # Edge-padded level block appended to the atlas; detection-border
         # margins guarantee every 47x47 patch stays inside its own block.
         # The atlas is stored as uint8 (the reference's images are 8-bit,
         # ORBextractor.cc works on 8U Mats) — 4x less patch-gather DMA
         # traffic; see ops/patches.py.
-        blk = jnp.pad(lvl_img, _PAD, mode="edge")
-        blk = jnp.pad(blk, ((0, 0), (0, W_atlas - blk.shape[1])))
+        blk = jnp.pad(lvl_imgs, ((0, 0), (_PAD, _PAD), (_PAD, _PAD)), mode="edge")
+        blk = jnp.pad(blk, ((0, 0), (0, 0), (0, W_atlas - blk.shape[2])))
         blk = jnp.clip(jnp.round(blk), 0.0, 255.0).astype(jnp.uint8)
-        atlas_rows.append(blk)
-        cy = jnp.clip(xy[:, 1] + _PAD - _CENTER_RAW + row_off, 0, None)
-        cx = jnp.clip(xy[:, 0] + _PAD - _CENTER_RAW, 0, None)
+        atlas_blocks.append(blk)
+        cy = jnp.clip(xy[..., 1] + _PAD - _CENTER_RAW + row_off, 0, None)
+        cx = jnp.clip(xy[..., 0] + _PAD - _CENTER_RAW, 0, None)
         corners.append(jnp.stack([cy, cx], axis=-1))
-        row_off += blk.shape[0]
+        row_off += blk.shape[1]
         xs.append(xy.astype(jnp.float32) * scales[l])
         resps.append(resp)
         valids.append(valid)
-        lvls.append(jnp.full((n_l,), l, dtype=jnp.int32))
+        lvls.append(jnp.full((B, n_l), l, dtype=jnp.int32))
 
-    atlas = jnp.concatenate(atlas_rows, axis=0)
-    corner = jnp.concatenate(corners, axis=0)
-    angle, desc = _orient_and_describe_at(atlas, corner)
+    # Stream-major atlas: stream b's levels live in rows [b*Ha, (b+1)*Ha).
+    atlas = jnp.concatenate(atlas_blocks, axis=1)  # (B, Ha, Wa)
+    Ha = atlas.shape[1]
+    atlas = atlas.reshape(B * Ha, W_atlas)
+    corner = jnp.concatenate(corners, axis=1)  # (B, N, 2)
+    stream_off = (jnp.arange(B, dtype=jnp.int32) * Ha)[:, None]
+    corner = corner.at[..., 0].add(stream_off)
+    n = corner.shape[1]
+    angle, desc = _orient_and_describe_at(atlas, corner.reshape(B * n, 2))
 
     return ORBFeatures(
-        xy=jnp.concatenate(xs, axis=0),
-        response=jnp.concatenate(resps, axis=0),
-        angle=angle,
-        level=jnp.concatenate(lvls, axis=0),
-        desc=desc,
-        valid=jnp.concatenate(valids, axis=0),
+        xy=jnp.concatenate(xs, axis=1),
+        response=jnp.concatenate(resps, axis=1),
+        angle=angle.reshape(B, n),
+        level=jnp.concatenate(lvls, axis=1),
+        desc=desc.reshape(B, n, 8),
+        valid=jnp.concatenate(valids, axis=1),
     )
+
+
+def extract_orb(img: jnp.ndarray, config: ORBConfig) -> ORBFeatures:
+    """Full ORB extraction for one grayscale image (H, W) float32 in [0, 255].
+
+    Single-stream view of extract_orb_batched (B = 1)."""
+    f = extract_orb_batched(img[None], config)
+    return ORBFeatures(*(leaf[0] for leaf in f))

@@ -61,17 +61,21 @@ def gather_patches_xla(atlas: jnp.ndarray, corner: jnp.ndarray):
 
 
 def _make_gather_kernel(row_align: int):
-    def _gather_kernel(corner_ref, atlas_ref, out_ref, scratch, sems):
+    def _gather_kernel(cy_ref, cx_ref, atlas_ref, out_ref, scratch, sems):
         """Grid step i produces blocks [i*K, (i+1)*K). Double-buffered: step i
-        issues the DMAs for step i+1 before waiting on its own."""
+        issues the DMAs for step i+1 before waiting on its own.
+
+        Corner rows/cols arrive as two 1-D scalar-prefetch arrays: a 2-D
+        (N, 2) array would be lane-padded to (N, 256) int32 in SMEM and blow
+        the 1 MB SMEM budget at multi-stream batch sizes."""
         i = pl.program_id(0)
         n = pl.num_programs(0)
         blk_r = scratch.shape[2]
 
         def dma(slot, step, k):
             kp = step * _K + k
-            cy = pl.multiple_of(corner_ref[kp, 0], row_align)
-            cx = pl.multiple_of(corner_ref[kp, 1], 128)
+            cy = pl.multiple_of(cy_ref[kp], row_align)
+            cx = pl.multiple_of(cx_ref[kp], 128)
             return pltpu.make_async_copy(
                 atlas_ref.at[pl.ds(cy, blk_r), pl.ds(cx, _BLK_C)],
                 scratch.at[slot, k],
@@ -110,11 +114,11 @@ def _gather_blocks(atlas: jnp.ndarray, corner0: jnp.ndarray, interpret: bool = F
     out = pl.pallas_call(
         _make_gather_kernel(_row_align(atlas.dtype)),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(steps,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
             out_specs=pl.BlockSpec(
-                (_K, blk_r, _BLK_C), lambda i, c: (i, 0, 0), memory_space=pltpu.VMEM
+                (_K, blk_r, _BLK_C), lambda i, cy, cx: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             scratch_shapes=[
                 pltpu.VMEM((2, _K, blk_r, _BLK_C), atlas.dtype),
@@ -123,7 +127,7 @@ def _gather_blocks(atlas: jnp.ndarray, corner0: jnp.ndarray, interpret: bool = F
         ),
         out_shape=jax.ShapeDtypeStruct((steps * _K, blk_r, _BLK_C), atlas.dtype),
         interpret=interpret,
-    )(corner0, atlas)
+    )(corner0[:, 0], corner0[:, 1], atlas)
     return out[:n]
 
 
