@@ -152,3 +152,71 @@ class TestBoWRelocalization:
         Rg, tg = np.asarray(poses[i][0]), np.asarray(poses[i][1])
         C_gt = -Rg.T @ tg
         assert np.linalg.norm(C_est - C_gt) < 0.1
+
+
+class TestLiveViewer:
+    def test_http_roundtrip(self):
+        """LiveViewer serves the page and a map snapshot over real HTTP."""
+        import json
+        import urllib.request
+
+        from tpuslam.mapstate.core import make_empty_map
+        from tpuslam.viz.server import LiveViewer
+
+        m = make_empty_map(8, 16, 64)
+        m = m._replace(
+            pt_xyz=m.pt_xyz.at[:3].set(jnp.asarray([[0.0, 0, 2], [1, 0, 3], [0, 1, 4]])),
+            pt_valid=m.pt_valid.at[:3].set(True),
+            kf_valid=m.kf_valid.at[0].set(True),
+            n_kf=jnp.asarray(1),
+        )
+        v = LiveViewer(port=0)  # OS-assigned free port
+        try:
+            v.update(
+                m,
+                trajectory=[np.zeros(3), np.ones(3)],
+                cam_R=np.eye(3),
+                cam_t=np.zeros(3),
+                status="OK",
+            )
+            page = urllib.request.urlopen(
+                f"http://127.0.0.1:{v.port}/", timeout=10
+            ).read()
+            assert b"tpuslam live viewer" in page
+            state = json.loads(
+                urllib.request.urlopen(
+                    f"http://127.0.0.1:{v.port}/state", timeout=10
+                ).read()
+            )
+            assert len(state["points"]) == 3
+            assert len(state["kfs"]) == 1
+            assert len(state["traj"]) == 2
+            assert state["cam"] is not None
+            assert state["status"] == "OK"
+        finally:
+            v.close()
+
+    def test_system_attach_viewer(self):
+        """System.attach_viewer publishes after tracked frames."""
+        from tpuslam.viz.server import LiveViewer
+
+        # Minimal check that the hook is wired; full tracking covered by
+        # integration tests.
+        import urllib.request, json
+        from tpuslam.geometry.camera import PinholeCamera
+        from tpuslam.pipeline import SensorType, System
+
+        cam = PinholeCamera(fx=100.0, fy=100.0, cx=32.0, cy=32.0, width=64, height=64)
+        sys_ = System(cam, SensorType.MONOCULAR)
+        v = sys_.attach_viewer(port=0)
+        try:
+            img = np.zeros((64, 64), np.float32)
+            sys_.track_monocular(img, 0.0)  # no features; state machine only
+            state = json.loads(
+                urllib.request.urlopen(
+                    f"http://127.0.0.1:{v.port}/state", timeout=10
+                ).read()
+            )
+            assert "frame=1" in state["status"]
+        finally:
+            v.close()

@@ -38,21 +38,67 @@ class System:
         cfg = TrackerConfig(cam=cam, orb=orb or ORBConfig(), **tracker_kwargs)
         self.tracker = Tracker(cfg)
         self._timestamps = {}
+        self._viewer = None
+        self._viewer_every = 1
+
+    def attach_viewer(self, viewer=None, every: int = 1, port: int = 8642):
+        """Attach a live web viewer (tpuslam.viz.LiveViewer) that refreshes
+        after every `every`-th tracked frame — the counterpart of the
+        reference's `bUseViewer` ctor flag (System.cc:107-111). Returns the
+        viewer (viewer.port tells you where it listens)."""
+        if viewer is None:
+            from tpuslam.viz.server import LiveViewer
+
+            viewer = LiveViewer(port=port)
+        self._viewer = viewer
+        self._viewer_every = max(1, every)
+        return viewer
+
+    def _push_viewer(self):
+        if self._viewer is None or self.tracker.n_frames % self._viewer_every:
+            return
+        tr = self.tracker
+        kf_R = np.asarray(tr.map.kf_R)
+        kf_t = np.asarray(tr.map.kf_t)
+        traj = []
+        for frame_id, ref, Rr, tr_rel, lost in tr.trajectory[-500:]:
+            if lost:
+                continue
+            if ref >= 0:
+                R = Rr @ kf_R[ref]
+                t = Rr @ kf_t[ref] + tr_rel
+            else:
+                R, t = Rr, tr_rel
+            traj.append(-R.T @ t)
+        self._viewer.update(
+            tr.map,
+            trajectory=traj,
+            cam_R=np.asarray(tr._last_R),
+            cam_t=np.asarray(tr._last_t),
+            status=f"{tr.state.name}  KFs={int(tr.map.n_kf)} "
+            f"pts={int(np.asarray(tr.map.pt_valid).sum())} frame={tr.n_frames}",
+        )
 
     def track_monocular(self, img, timestamp: float):
         frame_id = self.tracker.n_frames
         self._timestamps[frame_id] = timestamp
-        return self.tracker.track_monocular(jnp.asarray(img, jnp.float32), frame_id)
+        out = self.tracker.track_monocular(jnp.asarray(img, jnp.float32), frame_id)
+        self._push_viewer()
+        return out
 
     def track_stereo(self, img_left, img_right, timestamp: float):
         frame_id = self.tracker.n_frames
         self._timestamps[frame_id] = timestamp
-        return self.tracker.track_stereo(img_left, img_right, frame_id)
+        out = self.tracker.track_stereo(img_left, img_right, frame_id)
+        self._push_viewer()
+        return out
 
     def track_rgbd(self, img, depth, timestamp: float):
         frame_id = self.tracker.n_frames
         self._timestamps[frame_id] = timestamp
-        return self.tracker.track_rgbd(img, depth, frame_id)
+        out = self.tracker.track_rgbd(img, depth, frame_id)
+        self._push_viewer()
+        return out
 
     @property
     def state(self) -> TrackingState:
