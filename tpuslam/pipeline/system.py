@@ -117,6 +117,15 @@ class System:
         self.tracker.reset()
         self._timestamps = {}
 
+    def shutdown(self):
+        """Finish background mapping/loop/GBA work and stop the workers
+        (System::Shutdown, System.cc:316). Trajectory export remains valid
+        afterwards."""
+        self.tracker.shutdown()
+        if self._viewer is not None:
+            self._viewer.close()
+            self._viewer = None
+
     def activate_localization_mode(self):
         """Track against the frozen map, no new keyframes
         (System::ActivateLocalizationMode, System.cc:240)."""

@@ -70,6 +70,12 @@ class TrackerConfig:
     # reference's LocalMapping/LoopClosing threads); tracking continues on
     # the latest published snapshot and adopts results at frame boundaries.
     async_mapping: bool = False
+    # Run that worker in a SEPARATE PROCESS (multi-host form: mapping/loop
+    # on another host of the slice; see parallel/mapping_worker.py). Implies
+    # async_mapping. The worker defaults to CPU so it never contends for the
+    # tracker's chip; set mapping_process_platform for a pod's mapping host.
+    mapping_process: bool = False
+    mapping_process_platform: str = "cpu"
 
 
 class Tracker:
@@ -119,7 +125,8 @@ class Tracker:
         self._gba_pool = None
         self._gba_future = None
         self._gba_generation = 0
-        if config.async_mapping:
+        self._remote_mapper = None
+        if config.async_mapping or config.mapping_process:
             import concurrent.futures
 
             self._mapping_pool = concurrent.futures.ThreadPoolExecutor(
@@ -127,6 +134,16 @@ class Tracker:
             )
             self._gba_pool = concurrent.futures.ThreadPoolExecutor(
                 max_workers=1, thread_name_prefix="global-ba"
+            )
+        if config.mapping_process:
+            # Mapping/loop in a separate process (multi-host P1): the local
+            # mapping thread just ships snapshots over IPC. The worker owns
+            # the loop-closing state and runs GBA inline, so the local GBA
+            # pool is unused in this mode.
+            from tpuslam.parallel.mapping_worker import RemoteMappingWorker
+
+            self._remote_mapper = RemoteMappingWorker(
+                config, platform=config.mapping_process_platform
             )
         # Loop closing (scale fixed once depth-based init is used).
         self._depth_mode = False
@@ -484,7 +501,7 @@ class Tracker:
         if bool(jnp.any(feats.depth > 0)):
             m = self._add_depth_points(m, ki_int, feats, R, t)
 
-        if cfg.async_mapping:
+        if self._mapping_pool is not None:
             # Publish the inserted-KF snapshot and hand the mapping work to
             # the background worker (the LocalMapping/LoopClosing threads of
             # the reference, SURVEY.md P1/P5): tracking continues against
@@ -512,6 +529,10 @@ class Tracker:
     # ------------------------------------------------- mapping (sync/async)
 
     def _mapping_job(self, m, ki_int):
+        if self._remote_mapper is not None:
+            # Ship the snapshot to the mapping process (blocking IPC on this
+            # worker thread; tracking is not blocked).
+            return self._remote_mapper.process(m, ki_int, self._depth_mode), ki_int
         return self._mapping_compute(m, ki_int), ki_int
 
     def _adopt_mapping_result(self, result):
@@ -749,6 +770,8 @@ class Tracker:
             self.loop_closer = LoopCloser(
                 self.cfg.max_keyframes, fix_scale=False, voc=self.loop_closer.voc
             )
+        if self._remote_mapper is not None:
+            self._remote_mapper.reset()
 
     # ------------------------------------------------------------- public API
 
@@ -921,6 +944,22 @@ class Tracker:
             return np.asarray(self._last_R), np.asarray(self._last_t)
         self._record_pose(frame_id, self._last_R, self._last_t, lost=True)
         return None
+
+    def shutdown(self):
+        """Join in-flight mapping/GBA work and stop the worker pools and the
+        mapping process (System::Shutdown, /root/reference/src/System.cc:316
+        spins until LocalMapping/LoopClosing/GBA finish)."""
+        self._join_mapping()
+        if self._gba_future is not None:
+            self._gba_future.result()
+            self.map = self._poll_gba(self.map)
+        if self._remote_mapper is not None:
+            self._remote_mapper.close()
+            self._remote_mapper = None
+        for pool in (self._mapping_pool, self._gba_pool):
+            if pool is not None:
+                pool.shutdown(wait=True)
+        self._mapping_pool = self._gba_pool = None
 
     def export_trajectory(self):
         self._join_mapping()
