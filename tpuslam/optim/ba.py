@@ -195,9 +195,9 @@ def bundle_adjustment(
         bp_e = -jnp.einsum("eij,ei->ej", wJp, r)           # (E, 6)
         bl_e = -jnp.einsum("eij,ei->ej", w[:, None, None] * Jl, r)
 
-        Hpp = allreduce(jnp.zeros((K, 6, 6)).at[prob.kf].add(Hpp_e))
+        # Point-side (Hll, bl) assembly is shard-local in the point-sharded
+        # decomposition — no collective.
         Hll = jnp.zeros((P, 3, 3)).at[prob.pt].add(Hll_e)
-        bp = allreduce(jnp.zeros((K, 6)).at[prob.kf].add(bp_e))
         bl = jnp.zeros((P, 3)).at[prob.pt].add(bl_e)
 
         # LM damping (additive, like g2o's Levenberg lambda on the diagonal)
@@ -208,19 +208,33 @@ def bundle_adjustment(
         # at ~1e5, damping motion along the unobservable direction. Fixed /
         # empty blocks are pinned to identity so every inverse exists.
         tr3 = (Hll[..., 0, 0] + Hll[..., 1, 1] + Hll[..., 2, 2])[..., None, None]
-        tr6 = jnp.trace(Hpp, axis1=-2, axis2=-1)[..., None, None]
-        Hpp = Hpp + (lam + 1e-5 * tr6 + 1e-10) * eye6[None]
         Hll = Hll + (lam + 1e-5 * tr3 + 1e-10) * eye3[None]
         kf_pinned = prob.fixed_kf
         pt_pinned = prob.fixed_pt
-        Hpp = jnp.where(kf_pinned[:, None, None], eye6[None], Hpp)
         Hll = jnp.where(pt_pinned[:, None, None], eye3[None], Hll)
-        bp = jnp.where(kf_pinned[:, None], 0.0, bp)
         bl = jnp.where(pt_pinned[:, None], 0.0, bl)
         W_e = jnp.where(kf_pinned[prob.kf][:, None, None], 0.0, W_e)
         W_e = jnp.where(pt_pinned[prob.pt][:, None, None], 0.0, W_e)
 
         Hll_inv = _batched_inv3(Hll)
+
+        # Schur-RHS coupling term W Hll^-1 bl, computable shard-locally
+        # before any reduction — so Hpp, bp, and the coupling ride ONE
+        # packed (K, 6, 8) psum instead of three collectives per iteration
+        # (ICI latency, not bandwidth, bounds these K-sized payloads).
+        z0 = jnp.einsum("pij,pj->pi", Hll_inv, bl)
+        coup_e = jnp.einsum("eij,ej->ei", W_e, z0[prob.pt])
+        packed = jnp.zeros((K, 6, 8))
+        packed = packed.at[prob.kf, :, :6].add(Hpp_e)
+        packed = packed.at[prob.kf, :, 6].add(bp_e)
+        packed = packed.at[prob.kf, :, 7].add(coup_e)
+        packed = allreduce(packed)
+        Hpp, bp, coup = packed[:, :, :6], packed[:, :, 6], packed[:, :, 7]
+
+        tr6 = jnp.trace(Hpp, axis1=-2, axis2=-1)[..., None, None]
+        Hpp = Hpp + (lam + 1e-5 * tr6 + 1e-10) * eye6[None]
+        Hpp = jnp.where(kf_pinned[:, None, None], eye6[None], Hpp)
+        bp = jnp.where(kf_pinned[:, None], 0.0, bp)
 
         def S_matvec(vk):
             """vk: (K, 6) -> S @ vk."""
@@ -231,13 +245,8 @@ def bundle_adjustment(
             coupling = allreduce(jnp.zeros((K, 6)).at[prob.kf].add(u))
             return jnp.einsum("kij,kj->ki", Hpp, vk) - coupling
 
-        # Schur RHS.
-        z0 = jnp.einsum("pij,pj->pi", Hll_inv, bl)
-        rhs = bp - allreduce(
-            jnp.zeros((K, 6)).at[prob.kf].add(
-                jnp.einsum("eij,ej->ei", W_e, z0[prob.pt])
-            )
-        )
+        # Schur RHS (coupling already reduced in the packed psum above).
+        rhs = bp - jnp.where(kf_pinned[:, None], 0.0, coup)
 
         # Block-Jacobi PCG on S dx = rhs.
         Minv = jnp.linalg.inv(Hpp)
