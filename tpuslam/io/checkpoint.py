@@ -26,9 +26,17 @@ def save_map(m: MapState, path: str) -> None:
 
 def load_map(path: str) -> MapState:
     z = np.load(path)
+    K = z["kf_R"].shape[0]
+    # Defaults for fields added after a checkpoint was written (forward
+    # compatibility; culled-KF spanning tree fields default to "no parent").
+    defaults = {
+        "kf_parent": np.full((K,), -1, np.int32),
+        "kf_rel_R": np.broadcast_to(np.eye(3, dtype=np.float32), (K, 3, 3)),
+        "kf_rel_t": np.zeros((K, 3), np.float32),
+    }
     fields = {}
     for name in MapState._fields:
-        arr = z[name]
+        arr = z[name] if name in z.files else defaults[name]
         if name in _SCALARS:
             fields[name] = jnp.asarray(arr.item(), jnp.int32)
         else:

@@ -55,6 +55,14 @@ class MapState(NamedTuple):
     kf_kp_valid: jnp.ndarray # (K, N)
     kf_kp_uright: jnp.ndarray# (K, N)
     kf_obs_pt: jnp.ndarray   # (K, N) int32 point index or -1
+    # Spanning tree for culled keyframes (KeyFrame::SetBadFlag reparenting,
+    # /root/reference/src/KeyFrame.cc:453-545 + the mTcp walk in
+    # System::SaveTrajectoryTUM :377-381): when a KF is culled its pose is
+    # recorded RELATIVE to a surviving parent, so trajectory references keep
+    # following later pose-graph / GBA corrections.
+    kf_parent: jnp.ndarray   # (K,) int32 parent kf of CULLED kfs, else -1
+    kf_rel_R: jnp.ndarray    # (K, 3, 3) T_k = rel ∘ T_parent for culled kfs
+    kf_rel_t: jnp.ndarray    # (K, 3)
     # Map points.
     pt_xyz: jnp.ndarray      # (P, 3)
     pt_valid: jnp.ndarray    # (P,)
@@ -93,6 +101,9 @@ def make_empty_map(max_kf: int, n_features: int, max_pt: int) -> MapState:
         kf_kp_valid=jnp.zeros((K, N), bool),
         kf_kp_uright=jnp.full((K, N), -1.0),
         kf_obs_pt=jnp.full((K, N), -1, jnp.int32),
+        kf_parent=jnp.full((K,), -1, jnp.int32),
+        kf_rel_R=jnp.broadcast_to(jnp.eye(3), (K, 3, 3)).copy(),
+        kf_rel_t=jnp.zeros((K, 3)),
         pt_xyz=jnp.zeros((P, 3)),
         pt_valid=jnp.zeros((P,), bool),
         pt_desc=jnp.zeros((P, 8), jnp.uint32),

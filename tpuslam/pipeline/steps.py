@@ -603,5 +603,41 @@ def cull_keyframes(m: MapState, current_kf: jnp.ndarray, protect: jnp.ndarray):
         & (n_obs > 0)
         & (n_red >= 0.9 * n_obs)
     )
+    # Spanning-tree reparenting (KeyFrame::SetBadFlag, KeyFrame.cc:453-545):
+    # each culled KF records its most-covisible SURVIVING keyframe as parent
+    # plus the relative transform T_k ∘ T_parent^-1, so trajectory exports
+    # referencing it keep following later pose corrections (the reference's
+    # mTcp walk, System.cc:377-381). Chains are acyclic: parents are valid
+    # at their child's cull time and never point at already-culled KFs.
+    survive = m.kf_valid & ~cull
+    inc = jnp.minimum(
+        jnp.zeros((K, P + 1))
+        .at[
+            jnp.arange(K)[:, None],
+            jnp.where(has, m.kf_obs_pt, P),
+        ]
+        .add(1.0)[:, :P],
+        1.0,
+    )
+    shared = inc @ inc.T  # (K, K) covisibility counts
+    shared = jnp.where(survive[None, :], shared, -1.0)
+    shared = shared - jnp.diag(jnp.diag(shared))
+    # Fallback when no covisible survivor: the nearest-index surviving KF.
+    idx = jnp.arange(K)
+    nearness = -jnp.abs(idx[:, None] - idx[None, :]).astype(jnp.float32)
+    nearness = jnp.where(survive[None, :] & (idx[None, :] != idx[:, None]), nearness, -jnp.inf)
+    parent = jnp.where(
+        jnp.max(shared, axis=1) > 0,
+        jnp.argmax(shared, axis=1),
+        jnp.argmax(nearness, axis=1),
+    ).astype(jnp.int32)
+    rel_R = m.kf_R @ jnp.swapaxes(m.kf_R[parent], -1, -2)
+    rel_t = m.kf_t - jnp.einsum("kij,kj->ki", rel_R, m.kf_t[parent])
     obs = jnp.where(cull[:, None], -1, m.kf_obs_pt)
-    return m._replace(kf_valid=m.kf_valid & ~cull, kf_obs_pt=obs), cull
+    return m._replace(
+        kf_valid=survive,
+        kf_obs_pt=obs,
+        kf_parent=jnp.where(cull, parent, m.kf_parent),
+        kf_rel_R=jnp.where(cull[:, None, None], rel_R, m.kf_rel_R),
+        kf_rel_t=jnp.where(cull[:, None], rel_t, m.kf_rel_t),
+    ), cull

@@ -973,10 +973,32 @@ class Tracker:
         out = []
         kf_R = np.asarray(self.map.kf_R)
         kf_t = np.asarray(self.map.kf_t)
+        # Culled keyframes resolve through their spanning-tree parent chain
+        # (T_k = rel_k ∘ ... ∘ T_surviving), the reference's mTcp walk
+        # (System::SaveTrajectoryTUM, System.cc:377-381) — so culled refs
+        # keep following pose-graph / GBA corrections.
+        kf_valid = np.asarray(self.map.kf_valid)
+        parent = np.asarray(self.map.kf_parent)
+        rel_R = np.asarray(self.map.kf_rel_R)
+        rel_t = np.asarray(self.map.kf_rel_t)
+        eff_R = kf_R.copy()
+        eff_t = kf_t.copy()
+        for k in range(len(kf_R)):
+            if kf_valid[k] or parent[k] < 0:
+                continue
+            A_R, A_t = np.eye(3), np.zeros(3)
+            j = k
+            for _ in range(len(kf_R)):  # chain is acyclic; bound defensively
+                if kf_valid[j] or parent[j] < 0:
+                    break
+                A_R, A_t = A_R @ rel_R[j], A_R @ rel_t[j] + A_t
+                j = parent[j]
+            eff_R[k] = A_R @ kf_R[j]
+            eff_t[k] = A_R @ kf_t[j] + A_t
         for frame_id, ref, Rr, tr, lost in self.trajectory:
             if ref >= 0:
-                R = Rr @ kf_R[ref]
-                t = Rr @ kf_t[ref] + tr
+                R = Rr @ eff_R[ref]
+                t = Rr @ eff_t[ref] + tr
             else:
                 R, t = Rr, tr
             out.append((frame_id, R, t, lost))
