@@ -25,12 +25,18 @@ import numpy as np
 
 
 class Vocabulary(NamedTuple):
-    """centers[l]: (k^(l+1), 8) uint32 for level l; word_weight: (k^L,)."""
+    """centers[l]: (k^(l+1), 8) uint32 for level l; word_weight: (k^L,).
+
+    centers_valid marks which child slots exist: trees trained here are
+    complete (all None), but DBoW2 trees converted from the reference's
+    ORBvoc.txt format (tools/convert_orbvoc.py) have nodes with fewer than
+    k children and early leaves — invalid slots never win the descent."""
 
     centers: tuple           # tuple of jnp arrays, one per level
     word_weight: jnp.ndarray # (W,) float32 IDF weights
     k: int
     levels: int
+    centers_valid: tuple | None = None  # per level (k^(l+1),) bool, or None
 
     @property
     def n_words(self) -> int:
@@ -41,17 +47,24 @@ class Vocabulary(NamedTuple):
         data["word_weight"] = np.asarray(self.word_weight)
         data["k"] = self.k
         data["levels"] = self.levels
+        if self.centers_valid is not None:
+            for i, v in enumerate(self.centers_valid):
+                data[f"centers_valid_{i}"] = np.asarray(v)
         np.savez_compressed(path, **data)
 
     @staticmethod
     def load(path: str) -> "Vocabulary":
         z = np.load(path)
         levels = int(z["levels"])
+        valid = None
+        if "centers_valid_0" in z.files:
+            valid = tuple(jnp.asarray(z[f"centers_valid_{i}"]) for i in range(levels))
         return Vocabulary(
             centers=tuple(jnp.asarray(z[f"centers_{i}"]) for i in range(levels)),
             word_weight=jnp.asarray(z["word_weight"]),
             k=int(z["k"]),
             levels=levels,
+            centers_valid=valid,
         )
 
 
@@ -154,6 +167,9 @@ def transform_words(voc: Vocabulary, desc: jnp.ndarray, valid: jnp.ndarray) -> j
         d = jnp.sum(
             jax.lax.population_count(jnp.bitwise_xor(cent, desc[:, None, :])), axis=-1
         )
+        if voc.centers_valid is not None:
+            # Converted DBoW2 trees: missing child slots never win.
+            d = jnp.where(voc.centers_valid[lvl][child_ids], d, 1 << 14)
         node = child_ids[jnp.arange(n), jnp.argmin(d, axis=1)]
     return jnp.where(valid, node, -1)
 
