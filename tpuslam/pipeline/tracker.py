@@ -482,7 +482,11 @@ class Tracker:
             n_tracked < cfg.kf_ref_ratio * max(self._ref_kf_tracked, 1)
             and self._frames_since_kf >= cfg.kf_min_frames
         )
-        return bool(c1 or c2)
+        # Emergency insertion: tracking about to die bypasses the min-frames
+        # gate — the reference's c1c condition (matches < 0.25x ref,
+        # Tracking.cc:1072) is not gated by mMinFrames either.
+        c3 = n_tracked < 0.25 * max(self._ref_kf_tracked, 1)
+        return bool(c1 or c2 or c3)
 
     def _create_keyframe(self, feats, obs, R, t, frame_id):
         cfg = self.cfg
