@@ -250,7 +250,10 @@ def _select_level_keypoints(
     rank = jnp.arange(r, dtype=jnp.float32)[None, :]
     prio = rank * 4096.0 - jnp.clip(resp_c, 0, 4095.0)
     prio = jnp.where(valid, prio, jnp.inf)
-    final = jnp.argsort(prio.reshape(-1))[:n_keep]
+    # top_k of the negated priority == stable ascending argsort prefix
+    # (ties break toward the lower index in both), at a fraction of the
+    # full-sort cost.
+    _, final = jax.lax.top_k(-prio.reshape(-1), n_keep)
     out_valid = valid.reshape(-1)[final] & (jnp.arange(n_keep) < n_cells * r)
     return (
         jnp.stack([xs.reshape(-1)[final], ys.reshape(-1)[final]], axis=-1).astype(
