@@ -161,3 +161,77 @@ class TestQuadtree:
         assert inter > 0.4 * min(len(sel_tpu), len(sel_oracle)), (
             len(sel_tpu), len(sel_oracle), inter
         )
+
+
+class TestNativeEvaluate:
+    def test_ate_matches_horn(self, rng):
+        """Native Umeyama ATE == jax horn_sim3 alignment (Sim3 and SE3)."""
+        import jax.numpy as jnp
+        from tpuslam.io.native import evaluate_ate, native_available
+        from tpuslam.sfm import horn_sim3
+
+        if not native_available():
+            import pytest
+
+            pytest.skip("native library not built")
+        gt = rng.normal(size=(50, 3)) * 2.0
+        from tpuslam.geometry.se3 import so3_exp
+
+        R_true = np.asarray(so3_exp(jnp.asarray([0.2, -0.1, 0.4])))
+        for fix_scale, s_true in ((False, 0.7), (True, 1.0)):
+            est = (gt - np.array([0.3, 1.0, -0.5])) @ R_true / s_true
+            est += rng.normal(size=est.shape) * 0.01
+            rmse, s, R, t = evaluate_ate(est, gt, fix_scale=fix_scale)
+            assert abs(s - s_true) < 0.02
+            aligned = s * est @ R.T + t
+            np.testing.assert_allclose(
+                rmse, np.sqrt(np.mean(np.sum((aligned - gt) ** 2, -1))), rtol=1e-9
+            )
+            assert rmse < 0.03
+            # Cross-check against the jax Horn solver.
+            sj, Rj, tj = horn_sim3(
+                jnp.asarray(est, jnp.float32), jnp.asarray(gt, jnp.float32),
+                jnp.ones(len(est)), fix_scale=fix_scale,
+            )
+            alj = float(sj) * est @ np.asarray(Rj).T + np.asarray(tj)
+            rmse_j = np.sqrt(np.mean(np.sum((alj - gt) ** 2, -1)))
+            np.testing.assert_allclose(rmse, rmse_j, rtol=1e-3, atol=1e-5)
+
+    def test_rpe(self, rng):
+        from tpuslam.io.native import evaluate_rpe, native_available
+
+        if not native_available():
+            import pytest
+
+            pytest.skip("native library not built")
+        gt = np.cumsum(rng.normal(size=(30, 3)), axis=0)
+        est = gt + rng.normal(size=gt.shape) * 0.05
+        r = evaluate_rpe(est, gt, delta=1)
+        de = est[1:] - est[:-1]
+        dg = gt[1:] - gt[:-1]
+        np.testing.assert_allclose(
+            r, np.sqrt(np.mean(np.sum((de - dg) ** 2, -1))), rtol=1e-9
+        )
+
+    def test_evaluate_cli(self, tmp_path, rng):
+        """End-to-end CLI drive over TUM-format files."""
+        import subprocess, sys, os
+
+        gt = np.cumsum(rng.normal(size=(20, 3)), axis=0)
+        est = gt + rng.normal(size=gt.shape) * 0.01
+
+        def write(path, pos):
+            with open(path, "w") as f:
+                for i, p in enumerate(pos):
+                    f.write(f"{i/10.0:.6f} {p[0]} {p[1]} {p[2]} 0 0 0 1\n")
+
+        write(tmp_path / "est.txt", est)
+        write(tmp_path / "gt.txt", gt)
+        out = subprocess.run(
+            [sys.executable, "tools/evaluate_trajectory.py",
+             str(tmp_path / "est.txt"), str(tmp_path / "gt.txt"), "--se3"],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        assert out.returncode == 0, out.stderr
+        assert "ATE RMSE" in out.stdout

@@ -71,6 +71,23 @@ def _load():
         ctypes.c_int,
         np.ctypeslib.ndpointer(np.int32),
     ]
+    lib.tpuslam_ate.restype = ctypes.c_double
+    lib.tpuslam_ate.argtypes = [
+        np.ctypeslib.ndpointer(np.float64),
+        np.ctypeslib.ndpointer(np.float64),
+        ctypes.c_int64,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double),
+        np.ctypeslib.ndpointer(np.float64),
+        np.ctypeslib.ndpointer(np.float64),
+    ]
+    lib.tpuslam_rpe.restype = ctypes.c_double
+    lib.tpuslam_rpe.argtypes = [
+        np.ctypeslib.ndpointer(np.float64),
+        np.ctypeslib.ndpointer(np.float64),
+        ctypes.c_int64,
+        ctypes.c_int64,
+    ]
     _LIB = lib
     return lib
 
@@ -157,3 +174,52 @@ def distribute_quadtree(xs, ys, responses, bounds, target: int) -> np.ndarray:
         target, keep,
     )
     return keep.astype(bool)
+
+
+def evaluate_ate(est: np.ndarray, gt: np.ndarray, fix_scale: bool = False):
+    """ATE RMSE after Umeyama (Horn) alignment of est (N, 3) camera centers
+    onto gt (N, 3); fix_scale=True constrains s=1 (SE3). Returns
+    (rmse, scale, R (3,3), t (3,)). Native C++ (native/src/evaluate.cc) —
+    the counterpart of the TUM benchmark's evaluate_ate.py the reference
+    points users to (README.md:95-167)."""
+    lib = _load()
+    est = np.ascontiguousarray(est, np.float64)
+    gt = np.ascontiguousarray(gt, np.float64)
+    assert est.shape == gt.shape and est.ndim == 2 and est.shape[1] == 3
+    if lib is None:
+        # Pure-jax fallback via sfm.horn_sim3.
+        import jax.numpy as jnp
+
+        from tpuslam.sfm import horn_sim3
+
+        s, R, t = horn_sim3(
+            jnp.asarray(est, jnp.float32), jnp.asarray(gt, jnp.float32),
+            jnp.ones(len(est)), fix_scale=fix_scale,
+        )
+        s, R, t = float(s), np.asarray(R, np.float64), np.asarray(t, np.float64)
+        aligned = s * est @ R.T + t
+        return float(np.sqrt(np.mean(np.sum((aligned - gt) ** 2, -1)))), s, R, t
+    scale = ctypes.c_double()
+    R = np.zeros((3, 3), np.float64)
+    t = np.zeros((3,), np.float64)
+    rmse = lib.tpuslam_ate(
+        est, gt, est.shape[0], int(fix_scale), ctypes.byref(scale), R, t
+    )
+    if rmse < 0:
+        raise ValueError("evaluate_ate: need at least 3 matched poses")
+    return float(rmse), float(scale.value), R, t
+
+
+def evaluate_rpe(est: np.ndarray, gt: np.ndarray, delta: int = 1) -> float:
+    """RMS translational relative-pose error over a frame delta (native)."""
+    lib = _load()
+    est = np.ascontiguousarray(est, np.float64)
+    gt = np.ascontiguousarray(gt, np.float64)
+    if lib is None:
+        de = est[delta:] - est[:-delta]
+        dg = gt[delta:] - gt[:-delta]
+        return float(np.sqrt(np.mean(np.sum((de - dg) ** 2, -1))))
+    out = lib.tpuslam_rpe(est, gt, est.shape[0], delta)
+    if out < 0:
+        raise ValueError("evaluate_rpe: need more poses than delta")
+    return float(out)
