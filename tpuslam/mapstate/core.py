@@ -126,12 +126,20 @@ def insert_keyframe(
     t: jnp.ndarray,
     frame_id,
     obs_pt: jnp.ndarray,
+    slot: int | None = None,
 ) -> tuple:
-    """Insert a keyframe at the next slot. obs_pt: (N,) point index per
-    keypoint (-1 none). Returns (new_map, kf_index). No-op when full."""
-    k = m.n_kf
-    full = k >= m.capacity_kf
-    ki = jnp.minimum(k, m.capacity_kf - 1)
+    """Insert a keyframe at the next slot, or at an explicit recycled `slot`
+    (a previously-culled keyframe's slot, chosen host-side once capacity is
+    reached — see Tracker._recycle_kf_slot; the watermark stays put).
+    obs_pt: (N,) point index per keypoint (-1 none). Returns
+    (new_map, kf_index). No-op when full and no slot given."""
+    if slot is not None:
+        ki = jnp.int32(slot)
+        full = jnp.asarray(False)
+    else:
+        k = m.n_kf
+        full = k >= m.capacity_kf
+        ki = jnp.minimum(k, m.capacity_kf - 1)
 
     m = m._replace(
         kf_R=jnp.where(full, m.kf_R, m.kf_R.at[ki].set(R)),
@@ -149,7 +157,8 @@ def insert_keyframe(
             full, m.kf_kp_uright, m.kf_kp_uright.at[ki].set(feats.u_right)
         ),
         kf_obs_pt=jnp.where(full, m.kf_obs_pt, m.kf_obs_pt.at[ki].set(obs_pt)),
-        n_kf=jnp.where(full, m.n_kf, m.n_kf + 1),
+        kf_parent=jnp.where(full, m.kf_parent, m.kf_parent.at[ki].set(-1)),
+        n_kf=jnp.where(full | (slot is not None), m.n_kf, m.n_kf + 1),
     )
     return m, ki
 

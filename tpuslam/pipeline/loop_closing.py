@@ -418,18 +418,28 @@ class LoopCloser:
         # the measured constraint.
         ei, ej, ms, mR, mt, wgt = [], [], [], [], [], []
         covis_np = np.asarray(covis)
-        for k in range(1, n_kf):
-            ei.append(k - 1)
-            ej.append(k)
+        # Temporal chain over VALID keyframes in FRAME-ID order (slot order
+        # stops tracking time once culled slots are recycled); culled KFs
+        # are not graph vertices — their exported poses resolve through
+        # their spanning-tree parents, which ARE corrected here.
+        valid_np = np.asarray(m.kf_valid)
+        fid_np = np.asarray(m.kf_frame_id)
+        order = sorted(np.nonzero(valid_np)[0].tolist(), key=lambda k: int(fid_np[k]))
+        pos = {k: i for i, k in enumerate(order)}
+        for a, b in zip(order[:-1], order[1:]):
+            ei.append(a)
+            ej.append(b)
             sr, Rr, tr = make_relative(
-                s_old[k - 1], R_old[k - 1], t_old[k - 1], s_old[k], R_old[k], t_old[k]
+                s_old[a], R_old[a], t_old[a], s_old[b], R_old[b], t_old[b]
             )
             ms.append(sr)
             mR.append(Rr)
             mt.append(tr)
             wgt.append(1.0)
-        for a in range(n_kf):
-            for b in range(a + 2, n_kf):
+        for a in order:
+            for b in order:
+                if pos[b] < pos[a] + 2:
+                    continue  # chain-adjacent (or earlier) pairs
                 if covis_np[a, b] >= STRONG_COVIS:
                     ei.append(a)
                     ej.append(b)

@@ -353,7 +353,12 @@ def build_local_ba_problem(
     """
     K, N = m.kf_obs_pt.shape
     idx = jnp.arange(K)
-    recency = m.kf_valid & (idx > center_kf - window) & (idx <= center_kf)
+    # Recency by FRAME ID, not slot index: once capacity is reached new
+    # keyframes recycle culled slots, so slot order no longer follows time.
+    fid = m.kf_frame_id
+    eligible = m.kf_valid & (fid <= fid[center_kf])
+    newer = eligible[None, :] & (fid[None, :] > fid[:, None])
+    recency = eligible & (jnp.sum(newer, axis=1) < window)
     inc = observation_incidence(m)  # (K, P)
     shared = inc @ inc[center_kf]   # shared-point counts with the center
     covis = m.kf_valid & (shared >= 15.0) & (idx != center_kf)

@@ -157,6 +157,7 @@ class Tracker:
         # System::SaveTrajectoryTUM (/root/reference/src/System.cc:337-396).
         self.trajectory = []
         self.n_frames = 0
+        self.n_recycled_kf_slots = 0
 
     # ------------------------------------------------------------------ util
 
@@ -353,7 +354,11 @@ class Tracker:
                 return None  # aborted
             mm = self._global_ba(mm, iters=min(chunk, iters - done))
             done += chunk
-        return mm.kf_R, mm.kf_t, mm.pt_xyz, gen, int(m_snap.n_kf), int(m_snap.n_pt)
+        return (
+            mm.kf_R, mm.kf_t, mm.pt_xyz, gen,
+            np.asarray(m_snap.kf_frame_id), np.asarray(m_snap.kf_valid),
+            int(m_snap.n_pt),
+        )
 
     def _schedule_gba(self, m: MapState, iters: int = 10) -> MapState:
         """Run global BA for a freshly corrected loop. Synchronous without the
@@ -385,17 +390,19 @@ class Tracker:
         res = f.result()
         if res is None:
             return m
-        R_g, t_g, X_g, gen, n_kf_s, n_pt_s = res
+        R_g, t_g, X_g, gen, snap_fid, snap_valid, n_pt_s = res
         if gen != self._gba_generation:
             return m  # superseded (mnFullBAIdx mismatch, :658)
         K = m.capacity_kf
-        idx_k = jnp.arange(K)
-        anchor = n_kf_s - 1
+        # Snapshot membership by FRAME ID, not slot watermark: keyframes
+        # created during the run may occupy recycled slots below it. The
+        # anchor is the newest valid snapshot keyframe.
+        anchor = int(np.argmax(np.where(snap_valid, snap_fid, -1)))
         # Post-snapshot KFs: T_k_new = (T_k ∘ T_anchor^-1) ∘ T_anchor_gba.
         Ra_i, ta_i = se3_inverse(m.kf_R[anchor], m.kf_t[anchor])
         Rrel, trel = se3_compose(m.kf_R, m.kf_t, Ra_i, ta_i)
         R_post, t_post = se3_compose(Rrel, trel, R_g[anchor], t_g[anchor])
-        pre_k = (idx_k < n_kf_s)[:, None]
+        pre_k = (m.kf_frame_id == jnp.asarray(snap_fid))[:, None]
         R_new = jnp.where(pre_k[..., None], R_g, R_post)
         t_new = jnp.where(pre_k, t_g, t_post)
         # Post-snapshot points: preserve camera-frame coords in the ref KF.
@@ -473,8 +480,9 @@ class Tracker:
         cfg = self.cfg
         if self.localization_mode:
             return False  # mbOnlyTracking (Tracking.cc:1031)
-        if self.map.n_kf >= self.map.capacity_kf:
-            return False
+        # At capacity, insertion proceeds by recycling a culled slot or
+        # force-evicting the least-useful keyframe (_recycle_kf_slot);
+        # _create_keyframe backs out silently if neither is possible.
         if n_tracked < 15:
             return False
         c1 = self._frames_since_kf >= cfg.kf_max_frames
@@ -498,7 +506,12 @@ class Tracker:
         # SetAcceptKeyFrames protocol, LocalMapping.cc:55) — adopt the
         # previous result before inserting on top of it.
         self._join_mapping()
-        m, ki = insert_keyframe(self.map, feats, R, t, frame_id, obs)
+        slot = None
+        if int(self.map.n_kf) >= self.map.capacity_kf:
+            slot = self._recycle_kf_slot()
+            if slot is None:
+                return  # full, nothing recyclable
+        m, ki = insert_keyframe(self.map, feats, R, t, frame_id, obs, slot=slot)
         ki_int = int(ki)
         # Stereo/RGB-D: densify with close depth points
         # (Tracking::CreateNewKeyFrame stereo path, Tracking.cc:1115-1186).
@@ -529,6 +542,110 @@ class Tracker:
         self._last_R = self.map.kf_R[ki_int]
         self._last_t = self.map.kf_t[ki_int]
         self._velocity = None
+
+    def _force_evict_kf(self) -> bool:
+        """Mark the least-useful valid keyframe culled (observations
+        detached, spanning-tree parent + relative pose recorded) so its slot
+        can be recycled. Eviction picks the valid KF least covisible with
+        the current reference KF (tie: oldest), protecting the origin pair,
+        the current KF, and the recent window."""
+        from tpuslam.mapstate.core import observation_incidence
+
+        m = self.map
+        valid = np.asarray(m.kf_valid)
+        fid = np.asarray(m.kf_frame_id).astype(np.int64)
+        protect = {0, 1, self._last_kf_idx}
+        fids = fid.copy()
+        fids[~valid] = -1
+        recent = np.argsort(-fids)[: self.cfg.local_ba_window]
+        protect |= {int(k) for k in recent if fids[k] >= 0}
+        cands = [int(k) for k in np.nonzero(valid)[0] if int(k) not in protect]
+        if not cands:
+            return False
+        inc = np.asarray(observation_incidence(m))
+        anchor = self._last_kf_idx if self._last_kf_idx >= 0 else int(np.argmax(fids))
+        shared = inc @ inc[anchor]
+        slot = min(cands, key=lambda k: (float(shared[k]), int(fid[k])))
+        # Parent: most covisible survivor; fall back to the newest survivor.
+        s_row = inc @ inc[slot]
+        s_row[slot] = -1.0
+        s_row[~valid] = -1.0
+        p = int(np.argmax(s_row))
+        if s_row[p] <= 0:
+            fids2 = fids.copy()
+            fids2[slot] = -1
+            p = int(np.argmax(fids2))
+        pR = np.asarray(m.kf_R[slot]) @ np.asarray(m.kf_R[p]).T
+        pt_ = np.asarray(m.kf_t[slot]) - pR @ np.asarray(m.kf_t[p])
+        self.map = m._replace(
+            kf_valid=m.kf_valid.at[slot].set(False),
+            kf_obs_pt=m.kf_obs_pt.at[slot].set(-1),
+            kf_parent=m.kf_parent.at[slot].set(p),
+            kf_rel_R=m.kf_rel_R.at[slot].set(jnp.asarray(pR)),
+            kf_rel_t=m.kf_rel_t.at[slot].set(jnp.asarray(pt_)),
+        )
+        return True
+
+    def _recycle_kf_slot(self):
+        """Pick a culled keyframe slot for reuse once capacity is reached —
+        the TPU-native form of the reference's unbounded pointer map (it
+        deletes culled KeyFrames outright; fixed-capacity SoA arrays recycle
+        slots instead). Every reference to the slot is rebased onto its
+        spanning-tree parent first: recorded trajectory entries, other
+        culled KFs' parent pointers, and point reference keyframes. Returns
+        the slot index, or None if nothing is recyclable."""
+        m = self.map
+        valid = np.asarray(m.kf_valid)
+        parent = np.asarray(m.kf_parent)
+        cand = np.nonzero(~valid & (parent >= 0))[0]
+        if len(cand) == 0:
+            # No culled slot: force-evict the least-useful keyframe
+            # (sliding-window marginalization — a bounded-memory policy the
+            # unbounded reference never needs; redundancy culling alone
+            # starves once nothing is 90% redundant).
+            if not self._force_evict_kf():
+                return None
+            m = self.map
+            valid = np.asarray(m.kf_valid)
+            parent = np.asarray(m.kf_parent)
+            cand = np.nonzero(~valid & (parent >= 0))[0]
+        fid = np.asarray(m.kf_frame_id)
+        slot = int(cand[np.argmin(fid[cand])])  # oldest culled slot
+        self.n_recycled_kf_slots += 1
+        p = int(parent[slot])
+        pR = np.asarray(m.kf_rel_R[slot])
+        pt_ = np.asarray(m.kf_rel_t[slot])
+
+        # Trajectory entries referencing the slot: compose the slot's
+        # relative pose into the stored frame-relative pose.
+        self.trajectory = [
+            (fi, p, Rr @ pR, Rr @ pt_ + tr, lost) if ref == slot else
+            (fi, ref, Rr, tr, lost)
+            for (fi, ref, Rr, tr, lost) in self.trajectory
+        ]
+        # Culled KFs whose parent is the slot: splice the chain.
+        kids = np.nonzero((parent == slot) & ~valid)[0]
+        kf_parent = m.kf_parent
+        kf_rel_R = m.kf_rel_R
+        kf_rel_t = m.kf_rel_t
+        for k in kids:
+            k = int(k)
+            kf_rel_t = kf_rel_t.at[k].set(
+                jnp.asarray(np.asarray(m.kf_rel_R[k]) @ pt_) + m.kf_rel_t[k]
+            )
+            kf_rel_R = kf_rel_R.at[k].set(jnp.asarray(np.asarray(m.kf_rel_R[k]) @ pR))
+            kf_parent = kf_parent.at[k].set(p)
+        # Points referencing the slot follow the parent.
+        ref_hit = m.pt_ref_kf == slot
+        first_hit = m.pt_first_kf == slot
+        self.map = m._replace(
+            kf_parent=kf_parent,
+            kf_rel_R=kf_rel_R,
+            kf_rel_t=kf_rel_t,
+            pt_ref_kf=jnp.where(ref_hit, p, m.pt_ref_kf),
+            pt_first_kf=jnp.where(first_hit, p, m.pt_first_kf),
+        )
+        return slot
 
     # ------------------------------------------------- mapping (sync/async)
 
@@ -576,7 +693,12 @@ class Tracker:
         order = np.argsort(-shared)[:n]
         best = [int(k) for k in order if shared[k] > 0]
         if not best:
-            best = list(range(max(ki_int - n, 0), ki_int))
+            # Frame-id recency fallback (slot order stops tracking time once
+            # culled slots are recycled).
+            fids = np.asarray(m.kf_frame_id).copy()
+            fids[~np.asarray(m.kf_valid)] = -1
+            fids[ki_int] = -1
+            best = [int(k) for k in np.argsort(-fids)[:n] if fids[k] >= 0]
         return best
 
     def _mapping_compute(self, m, ki_int):
@@ -627,7 +749,13 @@ class Tracker:
         # neighborhood.
         protect = np.zeros(m.capacity_kf, bool)
         protect[:2] = True
-        protect[max(ki_int - cfg.local_ba_window, 0) : ki_int + 1] = True
+        protect[ki_int] = True
+        # Recent window by frame id (slot order stops tracking time once
+        # culled slots are recycled).
+        fids = np.asarray(m.kf_frame_id).copy()
+        fids[~np.asarray(m.kf_valid)] = -1
+        recent = np.argsort(-fids)[: cfg.local_ba_window]
+        protect[[int(k) for k in recent if fids[k] >= 0]] = True
         protect[self._best_covisible(m, ki_int, cfg.local_ba_window)] = True
         m, culled = steps.cull_keyframes(m, jnp.int32(ki_int), jnp.asarray(protect))
         # Local BA around the new keyframe.
@@ -768,6 +896,7 @@ class Tracker:
         self._ref_kf_tracked = 0
         self._depth_mode = False
         self.trajectory = []
+        self.n_recycled_kf_slots = 0
         if self.loop_closer is not None:
             from tpuslam.pipeline.loop_closing import LoopCloser
 
