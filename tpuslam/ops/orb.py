@@ -355,6 +355,23 @@ def _orient_and_describe_at(atlas: jnp.ndarray, corner: jnp.ndarray):
 
 
 
+def build_patch_atlas(levels):
+    """Single-pyramid uint8 patch atlas: per-level edge-padded blocks
+    stacked row-wise (the layout gather_patches consumes — shared by the
+    descriptor stage and the stereo SAD refinement). Returns
+    (atlas (Ha, Wa) uint8, row_offsets (n_levels,) np.int32, Wa)."""
+    W_atlas = levels[0].shape[1] + 2 * _PAD
+    rows, offs, off = [], [], 0
+    for lvl in levels:
+        blk = jnp.pad(lvl, _PAD, mode="edge")
+        blk = jnp.pad(blk, ((0, 0), (0, W_atlas - blk.shape[1])))
+        blk = jnp.clip(jnp.round(blk), 0.0, 255.0).astype(jnp.uint8)
+        rows.append(blk)
+        offs.append(off)
+        off += blk.shape[0]
+    return jnp.concatenate(rows, axis=0), np.asarray(offs, np.int32), W_atlas
+
+
 def extract_orb_batched(imgs: jnp.ndarray, config: ORBConfig) -> ORBFeatures:
     """ORB extraction for a batch of grayscale images (B, H, W) in [0, 255].
 

@@ -472,11 +472,15 @@ def stereo_frame_features(
     with u_right/depth filled)."""
     from tpuslam.mapstate.core import FrameFeatures
     from tpuslam.ops.image import build_pyramid
-    from tpuslam.ops.orb import extract_orb
+    from tpuslam.ops.orb import ORBFeatures, extract_orb_batched
     from tpuslam.ops.stereo import stereo_match
 
-    fL = extract_orb(imgL, config)
-    fR = extract_orb(imgR, config)
+    # Both images as one extraction batch: shared FAST kernel launch, one
+    # patch-gather DMA stream, one BRIEF matmul set (the TPU form of the
+    # reference's two extraction threads, Frame.cc:94-103).
+    fLR = extract_orb_batched(jnp.stack([imgL, imgR]), config)
+    fL = ORBFeatures(*(leaf[0] for leaf in fLR))
+    fR = ORBFeatures(*(leaf[1] for leaf in fLR))
     pyrL = build_pyramid(imgL, config.n_levels, config.scale_factor)
     pyrR = build_pyramid(imgR, config.n_levels, config.scale_factor)
     u_right, depth, ok = stereo_match(fL, fR, pyrL, pyrR, config, fx, bf)
