@@ -11,17 +11,33 @@ frames/s per chip, which is what a multi-camera / multi-robot deployment
 consumes). See __graft_entry__.entry_batched; BATCH=4 measured optimal on
 v5e (B=8 regresses on VMEM pressure).
 
-Baseline: the reference C++ tracker runs ~30 ms/frame (~33 fps) on the
-recommended i7 (README.md:59 claims real-time at 30 fps on TUM);
-vs_baseline = our frames/s / 33.
+Baseline: MEASURED on this host from the reference's own code — the
+tools/refbench harness compiles /root/reference's core (ORBextractor,
+ORBmatcher, g2o Optimizer; no viewer) and times Frame construction +
+SearchByProjection + 2x PoseOptimization at the same operating point
+(see tools/refbench/results.json, recorded at build time). Falls back to
+the reference's own real-time claim (~30 fps on an i7, README.md:59) if
+the harness has not been run.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 BATCH = 4
+
+
+def measured_baseline_fps() -> float:
+    """Reference frames/s measured on THIS host by tools/refbench."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tools", "refbench", "results.json")
+    try:
+        with open(path) as f:
+            return float(json.load(f)["track_fps"])
+    except (OSError, KeyError, ValueError):
+        return 30.0  # reference's own claim; refbench not built/run
 
 
 def main():
@@ -59,7 +75,7 @@ def main():
     t1 = time.perf_counter()
 
     fps = n_iters * BATCH / (t1 - t0)
-    baseline_fps = 33.0
+    baseline_fps = measured_baseline_fps()
     print(
         json.dumps(
             {
