@@ -60,6 +60,26 @@ def test_sharded_covisibility_matches_dense(rng):
     np.testing.assert_allclose(sharded, dense, atol=1e-5)
 
 
+def test_sharded_covisibility_matches_dense_with_culled_points(rng):
+    # Culled points still referenced by kf_obs_pt must not contribute to
+    # covisibility in EITHER path (the dense side applies the same pt_valid
+    # mask as the sharded one).
+    m, n_pt = _random_map(rng)
+    culled = rng.choice(n_pt, n_pt // 3, replace=False)
+    pt_valid = np.asarray(m.pt_valid).copy()
+    pt_valid[culled] = False
+    m = m._replace(pt_valid=jnp.asarray(pt_valid))
+    mesh = _mesh()
+    dense = np.asarray(covisibility_weights(m))
+    sharded = np.asarray(sharded_covisibility_weights(m, mesh))
+    np.testing.assert_allclose(sharded, dense, atol=1e-5)
+    # And a culled-point observation genuinely drops the weight.
+    obs = np.asarray(m.kf_obs_pt)
+    shared_01 = set(obs[0][obs[0] >= 0]) & set(obs[1][obs[1] >= 0])
+    expect = sum(1 for p in shared_01 if pt_valid[p])
+    assert dense[0, 1] == expect
+
+
 def test_sharded_search_matches_dense(rng):
     from tpuslam.geometry.camera import project
     from tpuslam.geometry.se3 import se3_apply

@@ -215,6 +215,9 @@ def evaluate_rpe(est: np.ndarray, gt: np.ndarray, delta: int = 1) -> float:
     lib = _load()
     est = np.ascontiguousarray(est, np.float64)
     gt = np.ascontiguousarray(gt, np.float64)
+    if est.shape[0] <= delta:
+        # Same error either backend (the native path returns < 0 for this).
+        raise ValueError("evaluate_rpe: need more poses than delta")
     if lib is None:
         de = est[delta:] - est[:-delta]
         dg = gt[delta:] - gt[:-delta]

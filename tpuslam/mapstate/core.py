@@ -226,6 +226,10 @@ def observation_incidence(m: MapState) -> jnp.ndarray:
     P = m.capacity_pt
     has = (m.kf_obs_pt >= 0) & m.kf_kp_valid & m.kf_valid[:, None]
     pt = jnp.where(has, m.kf_obs_pt, P)  # park invalid in scratch col
+    # Culled points do not count (the reference detaches observations in
+    # MapPoint::SetBadFlag); keeps this in lockstep with
+    # parallel.sharded_map.sharded_covisibility_weights.
+    has = has & jnp.pad(m.pt_valid, (0, 1))[pt]
     inc = jnp.zeros((K, P + 1))
     inc = inc.at[jnp.arange(K)[:, None], pt].add(has.astype(jnp.float32))
     return jnp.minimum(inc[:, :P], 1.0)

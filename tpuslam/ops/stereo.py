@@ -76,8 +76,20 @@ def _sad_refine_all_levels(
     iR_u0 = jnp.round(uR0_l0 * inv).astype(jnp.int32)
 
     row = jnp.clip(lo_tab[level] + PAD + iL_v - CENTER_RAW, lo_tab[level], hi_tab[level])
-    colL = jnp.clip(PAD + iL_u - CENTER_RAW, 0, Wa - PATCH)
-    colR = jnp.clip(PAD + iR_u0 - CENTER_RAW, 0, Wa - PATCH)
+    # Columns clip to the PER-LEVEL content width, not the global atlas
+    # width: upper levels are narrower and an over-scaled right coordinate
+    # would otherwise read the zero padding right of the level block.
+    col_hi_tab = jnp.asarray(
+        [pyrL[l].shape[1] + 2 * PAD - PATCH for l in range(n_levels)], jnp.int32
+    )
+    colL = jnp.clip(PAD + iL_u - CENTER_RAW, 0, col_hi_tab[level])
+    colR = jnp.clip(PAD + iR_u0 - CENTER_RAW, 0, col_hi_tab[level])
+    # Frame.cc:805-812: skip candidates whose 11x11 + slide window leaves the
+    # level image instead of matching against padding.
+    width_l = jnp.asarray([pyrL[l].shape[1] for l in range(n_levels)], jnp.int32)[level]
+    win = _W + _L
+    in_level = (iR_u0 - win >= 0) & (iR_u0 + win < width_l)
+    active = active & in_level
     pL = gather_patches(atlasL, jnp.stack([row, colL], axis=-1))  # (N,47,47)
     pR = gather_patches(atlasR, jnp.stack([row, colR], axis=-1))
 

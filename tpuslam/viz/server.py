@@ -108,7 +108,11 @@ class LiveViewer:
         system.attach_viewer(viewer)   # or viewer.update(...) manually
     """
 
-    def __init__(self, port: int = 8642, max_points: int = 20000):
+    def __init__(self, port: int = 8642, max_points: int = 20000,
+                 host: str = "127.0.0.1"):
+        """host defaults to loopback: the served state (map points, keyframe
+        poses, trajectory) is unauthenticated — pass host="0.0.0.0" only to
+        expose it deliberately."""
         self.port = port
         self.max_points = max_points
         self._lock = threading.Lock()
@@ -139,7 +143,7 @@ class LiveViewer:
             def log_message(self, *a):  # silence per-request stderr noise
                 pass
 
-        self._server = ThreadingHTTPServer(("0.0.0.0", port), Handler)
+        self._server = ThreadingHTTPServer((host, port), Handler)
         self.port = self._server.server_address[1]
         self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
         self._thread.start()
