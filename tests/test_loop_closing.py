@@ -192,3 +192,103 @@ class TestLoopClosing:
             m, closed = lc.on_keyframe(m, CAM, k, ba_fn=None)
             closed_any = closed_any or closed
         assert not closed_any
+
+    def test_recycled_slot_invalidates_detection_state(self, rng):
+        """KF slot recycling must not leave stale per-slot state behind:
+        the recycled slot's cached BoW vector and database row must be
+        refreshed for the NEW occupant, and temporal gating must follow
+        insertion order, not slot index (ADVICE round 1, medium)."""
+        m, gt, drifted = build_loop_map(rng, drift=0.0, revisit=False)
+        lc = LoopCloser(max_keyframes=24, fix_scale=False, min_sim3_inliers=15)
+        for k in range(len(gt)):
+            m, _ = lc.on_keyframe(m, CAM, k, ba_fn=None)
+        assert 2 in lc._bow
+        old_bow2 = np.asarray(lc._bow[2]).copy()
+        seq_before = int(lc._slot_seq[2])
+
+        # Recycle slot 2: new occupant (new frame id, new descriptors).
+        new_desc = rng.integers(
+            0, 2 ** 32, tuple(m.kf_kp_desc.shape[1:]), dtype=np.uint32
+        )
+        m = m._replace(
+            kf_frame_id=m.kf_frame_id.at[2].set(99),
+            kf_kp_desc=m.kf_kp_desc.at[2].set(jnp.asarray(new_desc)),
+        )
+        m, _ = lc.on_keyframe(m, CAM, 2, ba_fn=None)
+        # New occupant is temporally RECENT: newest sequence number.
+        assert int(lc._slot_seq[2]) > seq_before
+        assert int(lc._slot_seq[2]) == lc._seq
+        # BoW cache and database row reflect the new occupant.
+        new_bow2 = np.asarray(lc._bow[2])
+        assert not np.allclose(new_bow2, old_bow2)
+        assert np.allclose(np.asarray(lc.db.bow[2]), new_bow2)
+
+        # Culling a KF erases its database row and BoW cache on reconcile.
+        m2 = m._replace(kf_valid=m.kf_valid.at[3].set(False))
+        lc._reconcile(m2)
+        assert not bool(lc.db.has[3])
+        assert 3 not in lc._bow
+
+    def test_loop_fusion_merges_duplicates_and_links_covisibility(self, rng):
+        """CorrectLoop aftermath (LoopClosing.cc:518-643): after closing,
+        duplicate cross-loop landmarks are merged (valid-point count drops)
+        and the revisit keyframes gain covisibility edges (>= 15 shared
+        points) with the loop side — links that did NOT exist before."""
+        from tpuslam.mapstate.core import covisibility_weights
+
+        m, gt, drifted = build_loop_map(rng)
+        n_kf = len(gt)
+        lc = LoopCloser(max_keyframes=24, fix_scale=False, min_sim3_inliers=15)
+        covis_pre = np.asarray(covisibility_weights(m))
+        # Revisit KFs (last 3) observe DUPLICATE entries, not the originals:
+        # no pre-existing covisibility with the loop side.
+        assert covis_pre[n_kf - 1, 0] < 15 and covis_pre[n_kf - 1, 1] < 15
+
+        n_valid_before = int(jnp.sum(m.pt_valid))
+        closed_at = None
+        for k in range(n_kf):
+            m, closed = lc.on_keyframe(m, CAM, k, ba_fn=None)
+            if closed and closed_at is None:
+                closed_at = k
+        assert closed_at is not None
+
+        n_valid_after = int(jnp.sum(m.pt_valid))
+        assert n_valid_after < n_valid_before, "no duplicates merged"
+
+        covis_post = np.asarray(covisibility_weights(m))
+        cross = covis_post[closed_at, 0] >= 15 or covis_post[closed_at, 1] >= 15
+        assert cross, (
+            "loop fusion did not create cross-loop covisibility: "
+            f"{covis_post[closed_at, :4]}"
+        )
+        # The loop edge persists (KeyFrame::AddLoopEdge).
+        assert len(lc._loop_edges) == 1
+
+    def test_second_essential_graph_includes_first_loop_edge(self, rng):
+        """A later essential-graph run must include every PRIOR loop edge
+        (Optimizer.cc:926-950 walks KeyFrame::GetLoopEdges)."""
+        from tpuslam.mapstate.core import covisibility_weights
+
+        m, gt, drifted = build_loop_map(rng)
+        n_kf = len(gt)
+        lc = LoopCloser(max_keyframes=24, fix_scale=False, min_sim3_inliers=15)
+        for k in range(n_kf):
+            m, closed = lc.on_keyframe(m, CAM, k, ba_fn=None)
+        assert lc._loop_edges, "first loop never closed"
+        (fid_l, fid_c) = lc._loop_edges[0]
+        slot_l = int(np.nonzero(np.asarray(m.kf_frame_id) == fid_l)[0][0])
+        slot_c = int(np.nonzero(np.asarray(m.kf_frame_id) == fid_c)[0][0])
+
+        # Drive a SECOND correction between a different pair (identity Sim3 —
+        # geometry is irrelevant here; the graph structure is under test).
+        covis = covisibility_weights(m)
+        m2 = lc._correct(
+            m, CAM, kf_cur=n_kf - 2, kf_loop=1,
+            s21=jnp.asarray(1.0), R21=jnp.eye(3), t21=jnp.zeros(3),
+            covis=covis,
+        )
+        pairs = {(min(a, b), max(a, b)) for a, b in lc._last_edge_slots}
+        assert (min(slot_l, slot_c), max(slot_l, slot_c)) in pairs, (
+            "first loop's persistent edge missing from the second "
+            f"essential graph: {sorted(pairs)[:10]}"
+        )

@@ -70,9 +70,20 @@ class LoopCloser:
         self._tried_default = False
         self._bow = {}
         self._consistent_groups = []  # list[(set(kf_ids), count)]
-        self._last_loop_kf = -1
         self._key = jax.random.PRNGKey(42)
         self.n_loops_closed = 0
+        # Slot indices are NOT temporal order once the tracker recycles
+        # culled keyframe slots: temporal gating uses an insertion sequence
+        # number per slot, and per-slot caches (_bow, database rows) are
+        # reconciled against kf_frame_id every call (a recycled slot's
+        # frame id changes; a culled slot goes invalid).
+        self._seq = 0
+        self._last_loop_seq = -(10 ** 9)
+        self._slot_seq = np.full(max_keyframes, -1, np.int64)
+        self._slot_fid = np.full(max_keyframes, -1, np.int64)
+        # Persistent loop edges by FRAME ID pairs (KeyFrame::AddLoopEdge,
+        # consumed by every later essential graph, Optimizer.cc:926-950).
+        self._loop_edges: list = []
 
     def _next_key(self):
         self._key, k = jax.random.split(self._key)
@@ -112,6 +123,24 @@ class LoopCloser:
         )
         return True
 
+    def _reconcile(self, m: MapState):
+        """Invalidate per-slot state for slots whose occupant changed.
+
+        The reference erases culled keyframes from the database in
+        KeyFrame::SetBadFlag; here culling AND slot recycling are detected
+        in one sweep by comparing each slot's frame id (invalid slots count
+        as empty) against the last-seen value."""
+        fid = np.asarray(m.kf_frame_id).astype(np.int64).copy()
+        fid[~np.asarray(m.kf_valid)] = -1
+        changed = np.nonzero(fid != self._slot_fid)[0]
+        for s in changed:
+            s = int(s)
+            self._bow.pop(s, None)
+            if self.db is not None:
+                self.db.erase(s)
+            self._slot_seq[s] = -1
+        self._slot_fid = fid
+
     def _kf_bow(self, m: MapState, k: int):
         if k not in self._bow:
             self._bow[k] = bow_vector(self.voc, m.kf_kp_desc[k], m.kf_kp_valid[k])
@@ -125,7 +154,9 @@ class LoopCloser:
             self.db = KeyFrameDatabase(self.voc.n_words, self.max_keyframes)
         v = self._kf_bow(m, kf)
 
-        if kf - max(self._last_loop_kf, 0) < MIN_KF_GAP or kf < MIN_KF_GAP:
+        self._seq += 1
+        self._slot_seq[kf] = self._seq
+        if self._seq - self._last_loop_seq < MIN_KF_GAP or self._seq <= MIN_KF_GAP:
             self.db.add(kf, v)
             self._consistent_groups = []
             return None
@@ -141,8 +172,9 @@ class LoopCloser:
         exclude = np.zeros(self.max_keyframes, bool)
         exclude[kf] = True
         exclude[neighbors] = True
-        # Also exclude recent KFs (temporal neighbors).
-        exclude[max(0, kf - MIN_KF_GAP) : kf + 1] = True
+        # Also exclude recent KFs (temporal neighbors) — by insertion
+        # sequence, which survives slot recycling.
+        exclude[(self._slot_seq >= 0) & (self._slot_seq > self._seq - MIN_KF_GAP)] = True
         idx, ok = self.db.query(
             v, jnp.asarray(exclude), covis, min_score=min_score, max_candidates=6
         )
@@ -231,25 +263,24 @@ class LoopCloser:
         mutual = ok_f & ok_b[j] & (idx_b[j] == jnp.arange(N))
         return idx_f, mutual
 
-    def _neighborhood_matches(self, m: MapState, cam, kf_cur: int, kf_loop: int,
-                              s21, R21, t21, covis: jnp.ndarray):
-        """Project the loop KF's covisible neighborhood's map points into the
-        current frame through the corrected S_cw and match
-        (LoopClosing::ComputeSim3 final gate, LoopClosing.cc:352-391;
-        projection per ORBmatcher.cc:290 with th=10). Returns the per-current-
-        keypoint matched mask."""
+    def _loop_point_mask(self, m: MapState, kf_loop: int, covis: jnp.ndarray):
+        """mvpLoopMapPoints (LoopClosing.cc:352-372): every valid point
+        observed by the loop KF or its covisible neighborhood, as a (P,)
+        mask."""
         P = m.capacity_pt
         nbrs = np.nonzero(np.asarray(covis[kf_loop]) >= 15)[0].tolist()
         nbrs = [k for k in ([kf_loop] + nbrs) if k < int(m.n_kf)]
         obs = m.kf_obs_pt[jnp.asarray(np.array(nbrs, np.int32))]       # (B, N)
         hasv = (obs >= 0) & m.kf_kp_valid[jnp.asarray(np.array(nbrs, np.int32))]
         flat = jnp.where(hasv, obs, P).reshape(-1)
-        nb_mask = jnp.zeros((P + 1,), bool).at[flat].set(True)[:P] & m.pt_valid
+        return jnp.zeros((P + 1,), bool).at[flat].set(True)[:P] & m.pt_valid
 
-        # Corrected S_cw = S21 * T_loop,w; camera center = S_cw^-1(0).
-        s_cw, R_cw, t_cw = sim3_compose(
-            s21, R21, t21, jnp.ones(()), m.kf_R[kf_loop], m.kf_t[kf_loop]
-        )
+    def _project_match_points(self, m: MapState, cam, kf: int, s_cw, R_cw, t_cw,
+                              pt_mask, radius_mult: float, max_dist: int):
+        """Project masked map points through a Sim3 camera pose S_cw and match
+        them against keyframe kf's keypoints (ORBmatcher::SearchByProjection
+        with Scw, ORBmatcher.cc:290 / Fuse-with-Scw, :1045). Returns
+        (idx (P,): matched keypoint per point, ok (P,))."""
         Xc = sim3_apply(s_cw, R_cw, t_cw, m.pt_xyz)
         uv = project(cam, Xc)
         center = sim3_inverse(s_cw, R_cw, t_cw)[2]  # S_cw^-1 at the origin
@@ -271,19 +302,44 @@ class LoopCloser:
         idx, _, ok = search_by_projection_points(
             uv,
             m.pt_desc,
-            nb_mask & in_img,
-            10.0 * 1.2 ** pred.astype(jnp.float32),
+            pt_mask & in_img,
+            radius_mult * 1.2 ** pred.astype(jnp.float32),
             lo,
             hi,
-            m.kf_kp_xy[kf_cur],
-            m.kf_kp_desc[kf_cur],
-            m.kf_kp_level[kf_cur],
-            m.kf_kp_angle[kf_cur],
-            m.kf_kp_valid[kf_cur],
-            max_dist=TH_LOW,
+            m.kf_kp_xy[kf],
+            m.kf_kp_desc[kf],
+            m.kf_kp_level[kf],
+            m.kf_kp_angle[kf],
+            m.kf_kp_valid[kf],
+            max_dist=max_dist,
+        )
+        return idx, ok
+
+    def _neighborhood_matches(self, m: MapState, cam, kf_cur: int, kf_loop: int,
+                              s21, R21, t21, covis: jnp.ndarray):
+        """Project the loop KF's covisible neighborhood's map points into the
+        current frame through the corrected S_cw and match
+        (LoopClosing::ComputeSim3 final gate, LoopClosing.cc:352-391;
+        projection per ORBmatcher.cc:290 with th=10). Returns
+        (hit (N,): per-current-keypoint matched mask,
+         match_pt (N,): matched loop map point per keypoint or -1 — the
+         reference's mvpCurrentMatchedPoints,
+         nb_mask (P,): the loop-neighborhood point set)."""
+        nb_mask = self._loop_point_mask(m, kf_loop, covis)
+        # Corrected S_cw = S21 * T_loop,w.
+        s_cw, R_cw, t_cw = sim3_compose(
+            s21, R21, t21, jnp.ones(()), m.kf_R[kf_loop], m.kf_t[kf_loop]
+        )
+        idx, ok = self._project_match_points(
+            m, cam, kf_cur, s_cw, R_cw, t_cw, nb_mask, 10.0, TH_LOW
         )
         N = m.kf_obs_pt.shape[1]
-        return jnp.zeros((N + 1,), bool).at[jnp.where(ok, idx, N)].set(True)[:N]
+        P = m.capacity_pt
+        hit = jnp.zeros((N + 1,), bool).at[jnp.where(ok, idx, N)].set(True)[:N]
+        match_pt = jnp.full((N + 1,), -1, jnp.int32).at[
+            jnp.where(ok, idx, N)
+        ].set(jnp.where(ok, jnp.arange(P, dtype=jnp.int32), -1))[:N]
+        return hit, match_pt, nb_mask
 
     def _compute_sim3(self, m: MapState, cam, kf_cur: int, kf_loop: int,
                       covis: jnp.ndarray):
@@ -291,8 +347,11 @@ class LoopCloser:
         with mutually-consistent Sim3-guided projection (SearchBySim3),
         refine (OptimizeSim3), then gate on total matches against the loop
         neighborhood's projected points (LoopClosing::ComputeSim3,
-        /root/reference/src/LoopClosing.cc:231-391). Returns (s, R, t)
-        mapping loop-KF camera coords -> current-KF camera coords, or None."""
+        /root/reference/src/LoopClosing.cc:231-391). Returns
+        (s, R, t, match_pt, nb_mask) where (s, R, t) maps loop-KF camera
+        coords -> current-KF camera coords, match_pt is the per-current-
+        keypoint matched loop point (mvpCurrentMatchedPoints) and nb_mask
+        the loop-neighborhood point set; or None if rejected."""
         N = m.kf_obs_pt.shape[1]
         obs_c = m.kf_obs_pt[kf_cur]
         obs_l = m.kf_obs_pt[kf_loop]
@@ -369,19 +428,98 @@ class LoopCloser:
 
         # Accept only if enough of the loop neighborhood's points re-find
         # themselves in the current frame (>= 40 total, LoopClosing.cc:389).
-        nb_hit = self._neighborhood_matches(
+        nb_hit, match_pt, nb_mask = self._neighborhood_matches(
             m, cam, kf_cur, kf_loop, s, R, t, covis
         )
         total = int(jnp.sum(nb_hit | (merged_ok & inl)))
         if total < self.min_total_matches:
             return None
-        return s, R, t
+        # mvpCurrentMatchedPoints: neighborhood projection matches, with the
+        # Sim3-inlier pairs (higher confidence) taking precedence.
+        sim3_ok = merged_ok & inl
+        sim3_pt = jnp.where(sim3_ok, obs_l[merged_idx], -1)
+        match_pt = jnp.where(sim3_pt >= 0, sim3_pt, match_pt)
+        return s, R, t, match_pt, nb_mask
 
     # ------------------------------------------------------------ correction
 
+    def _fuse_loop_points(self, m: MapState, cam, kf_cur: int, match_pt,
+                          nb_mask, group_poses):
+        """Loop fusion + SearchAndFuse (LoopClosing.cc:518-535, 587-643).
+
+        1. For each current-KF keypoint with a matched loop point
+           (mvpCurrentMatchedPoints): if the keypoint already holds a map
+           point, REPLACE it with the loop point (the loop side wins,
+           MapPoint::Replace); otherwise attach the loop point as a new
+           observation.
+        2. For every keyframe of the corrected neighborhood, project ALL
+           loop-side points through its CORRECTED Sim3 pose and fuse
+           (ORBmatcher::Fuse with Scw, th=4): matched occupied keypoints
+           replace their point with the loop point, free ones gain an
+           observation.
+
+        group_poses: {kf_slot: (s, R, t)} corrected S_kw per neighborhood KF.
+        Returns the fused MapState.
+        """
+        P = m.capacity_pt
+        obs = np.asarray(m.kf_obs_pt).copy()
+        ptv = np.asarray(m.pt_valid).copy()
+        repl = np.arange(P, dtype=np.int64)
+
+        def replace(old: int, new: int):
+            # Loop point wins (pCurMP->Replace(pLoopMP) / pRep->Replace).
+            repl[old] = new
+            ptv[old] = False
+
+        mp = np.asarray(match_pt)
+        for i in np.nonzero(mp >= 0)[0]:
+            q = int(mp[i])
+            if not ptv[q]:
+                continue
+            cur = int(obs[kf_cur, i])
+            if cur >= 0 and cur != q and ptv[cur]:
+                replace(cur, q)
+            else:
+                obs[kf_cur, i] = q
+
+        for g, (sg, Rg, tg) in group_poses.items():
+            idx, ok = self._project_match_points(
+                m, cam, g, sg, Rg, tg, nb_mask, 4.0, TH_LOW
+            )
+            idxn, okn = np.asarray(idx), np.asarray(ok)
+            for p in np.nonzero(okn)[0]:
+                p = int(p)
+                if not ptv[p]:
+                    continue
+                kp = int(idxn[p])
+                q = int(obs[g, kp])
+                if q >= 0 and q != p and ptv[q]:
+                    replace(q, p)
+                elif q < 0:
+                    obs[g, kp] = p
+
+        # Resolve short replacement chains, then redirect every observation
+        # (MapPoint::Replace's global forwarding, MapPoint.cc:177).
+        repl = repl[repl]
+        repl = repl[repl]
+        obs = np.where(obs >= 0, repl[np.maximum(obs, 0)], obs)
+        m = m._replace(kf_obs_pt=jnp.asarray(obs.astype(np.int32)),
+                       pt_valid=jnp.asarray(ptv))
+        # Refresh representative descriptors of the surviving loop points
+        # (ComputeDistinctiveDescriptors after fusion, LoopClosing.cc:533).
+        from tpuslam.mapstate.core import compute_point_descriptors
+
+        touched = nb_mask & m.pt_valid
+        if bool(jnp.any(touched)):
+            m = compute_point_descriptors(m, touched)
+        return m
+
     def _correct(self, m: MapState, cam, kf_cur: int, kf_loop: int, s21, R21, t21,
-                 covis: jnp.ndarray, ba_fn=None):
-        """CorrectLoop (:402) + OptimizeEssentialGraph + point correction."""
+                 covis: jnp.ndarray, ba_fn=None, match_pt=None, nb_mask=None):
+        """CorrectLoop (:402): Sim3 propagation to the covisible group, loop
+        point fusion + SearchAndFuse, new-covisibility loop connections,
+        OptimizeEssentialGraph (with persistent loop edges from EVERY prior
+        closure), point correction, global BA."""
         K = m.capacity_kf
         n_kf = int(m.n_kf)
         ones = jnp.ones(())
@@ -404,6 +542,7 @@ class LoopCloser:
         R_init = R_old
         t_init = t_old
         Tc_inv = se3_inverse(m.kf_R[kf_cur], m.kf_t[kf_cur])
+        group_poses = {}
         for g in sorted(group):
             Rrel, trel = se3_compose(m.kf_R[g], m.kf_t[g], *Tc_inv)
             sg, Rg, tg = sim3_compose(
@@ -412,6 +551,33 @@ class LoopCloser:
             s_init = s_init.at[g].set(sg)
             R_init = R_init.at[g].set(Rg)
             t_init = t_init.at[g].set(tg)
+            group_poses[g] = (sg, Rg, tg)
+
+        # --- Loop fusion + SearchAndFuse (LoopClosing.cc:518-543) ---------
+        if match_pt is not None and nb_mask is not None:
+            m = self._fuse_loop_points(
+                m, cam, kf_cur, match_pt, nb_mask, group_poses
+            )
+
+        # --- New covisibility connections (LoopClosing.cc:546-564) --------
+        # Fusion creates shared observations across the loop; links that did
+        # not exist before correction (and are not intra-group) become loop
+        # connections in the essential graph, gated at the strong-covis
+        # weight except the (current, loop) pair itself (Optimizer.cc:862).
+        covis_post = covisibility_weights(m)
+        covis_post_np = np.asarray(covis_post)
+        covis_pre_np = np.asarray(covis)
+        loop_connections = []
+        for a in sorted(group):
+            newly = (covis_post_np[a] >= 15) & (covis_pre_np[a] < 15)
+            for b in np.nonzero(newly)[0]:
+                b = int(b)
+                if b in group or not bool(m.kf_valid[b]):
+                    continue
+                is_loop_pair = a == kf_cur and b == kf_loop
+                if covis_post_np[a, b] < STRONG_COVIS and not is_loop_pair:
+                    continue
+                loop_connections.append((a, b))
 
         # Essential-graph edges from PRE-correction poses: spanning tree
         # (sequential parent), strong covisibility, plus the loop edge with
@@ -457,6 +623,53 @@ class LoopCloser:
         mR.append(R21)
         mt.append(t21)
         wgt.append(1.0)
+        seen_pairs = {(min(a, b), max(a, b)) for a, b in zip(ei, ej)}
+
+        # New loop connections: measurement from the group-CORRECTED poses
+        # (Optimizer.cc:853-870 takes Sji from vScw, which holds CorrectedSim3
+        # for the propagated group and identity-scale current poses else).
+        for a, b in loop_connections:
+            key = (min(a, b), max(a, b))
+            if key in seen_pairs:
+                continue
+            seen_pairs.add(key)
+            sr, Rr, tr = make_relative(
+                s_init[a], R_init[a], t_init[a], s_init[b], R_init[b], t_init[b]
+            )
+            ei.append(a)
+            ej.append(b)
+            ms.append(sr)
+            mR.append(Rr)
+            mt.append(tr)
+            wgt.append(1.0)
+
+        # Persistent loop edges from PRIOR closures (KeyFrame::AddLoopEdge →
+        # Optimizer.cc:926-950): measurement re-derived from the CURRENT
+        # (pre-correction) poses, exactly like the reference's later runs.
+        fid_to_slot = {
+            int(fid_np[k]): k for k in order
+        }
+        for fa, fb in self._loop_edges:
+            a = fid_to_slot.get(fa)
+            b = fid_to_slot.get(fb)
+            if a is None or b is None:
+                continue  # one side culled; constraint already baked in
+            key = (min(a, b), max(a, b))
+            if key in seen_pairs:
+                continue
+            seen_pairs.add(key)
+            sr, Rr, tr = make_relative(
+                s_old[a], R_old[a], t_old[a], s_old[b], R_old[b], t_old[b]
+            )
+            ei.append(a)
+            ej.append(b)
+            ms.append(sr)
+            mR.append(Rr)
+            mt.append(tr)
+            wgt.append(1.0)
+
+        # Introspection hook for tests: the slot pairs in this graph.
+        self._last_edge_slots = list(zip(ei, ej))
 
         edges = Sim3Edges(
             i=jnp.asarray(np.array(ei, np.int32)),
@@ -490,7 +703,12 @@ class LoopCloser:
         # Full BA (the reference's post-loop global BA, :645).
         if ba_fn is not None:
             m = ba_fn(m)
-        self._last_loop_kf = kf_cur
+        # Persist the loop edge for every later essential graph
+        # (mpMatchedKF->AddLoopEdge(mpCurrentKF) + reverse, LoopClosing.cc:573).
+        pair = (int(fid_np[kf_loop]), int(fid_np[kf_cur]))
+        if pair not in self._loop_edges:
+            self._loop_edges.append(pair)
+        self._last_loop_seq = self._seq
         self.n_loops_closed += 1
         return m
 
@@ -501,6 +719,7 @@ class LoopCloser:
         Returns (map, closed: bool)."""
         if not self._ensure_vocabulary(m):
             return m, False
+        self._reconcile(m)
         covis = covisibility_weights(m)
         cand = self._detect(m, kf_cur, covis)
         if cand is None:
@@ -508,6 +727,9 @@ class LoopCloser:
         sim3 = self._compute_sim3(m, cam, kf_cur, cand, covis)
         if sim3 is None:
             return m, False
-        s21, R21, t21 = sim3
-        m = self._correct(m, cam, kf_cur, cand, s21, R21, t21, covis, ba_fn=ba_fn)
+        s21, R21, t21, match_pt, nb_mask = sim3
+        m = self._correct(
+            m, cam, kf_cur, cand, s21, R21, t21, covis,
+            ba_fn=ba_fn, match_pt=match_pt, nb_mask=nb_mask,
+        )
         return m, True
