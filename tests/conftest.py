@@ -26,6 +26,30 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 import pytest
 
+# Tier split by module: `pytest -m fast` is the quick gate (~3 min on this
+# 2-core host); everything else is marked slow (compile-dominated: full
+# pipelines, Pallas kernels, separate-process workers). Keeping the split
+# here avoids per-file marker boilerplate.
+_FAST_MODULES = {
+    "test_geometry",
+    "test_linalg",
+    "test_matching",
+    "test_optim",
+    "test_io",
+    "test_native",
+    "test_grad_safety",
+    "test_kf_culling",
+    "test_place_posegraph",
+    "test_dist_ba",
+    "test_orbvoc_convert",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        item.add_marker("fast" if mod in _FAST_MODULES else "slow")
+
 
 @pytest.fixture
 def rng():
