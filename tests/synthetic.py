@@ -31,16 +31,39 @@ class StepWallScene:
     model the right one for monocular init and exercises triangulation."""
 
     def __init__(self, rng, depths=(3.5, 5.0, 4.2, 6.5, 3.8, 5.8, 4.6, 7.0),
-                 band=1.2, tex_scale=60.0):
+                 band=1.2, tex_scale=60.0, ssaa=3):
         self.textures = [make_texture(rng, 500, 500) for _ in depths]
         self.depths = depths
         self.band = band
         self.tex_scale = tex_scale
+        self.ssaa = ssaa
 
     def render(self, cam: PinholeCamera, R, t, with_depth: bool = False):
         """Render from world->camera pose (R, t); rays hit the slab whose
         world-x band they land in (nearest intersection wins). With
-        with_depth=True also returns the camera-frame z-depth image."""
+        with_depth=True also returns the camera-frame z-depth image.
+
+        Rendered with `ssaa`x supersampling (box-downsampled): point-sampled
+        seam/texture edges alias with subpixel view shifts and systematically
+        bias corner positions, which dominates drift at sparse keyframe
+        cadence (the depth image stays point-sampled — averaging depths
+        across an occlusion seam would fabricate nonexistent geometry)."""
+        s = self.ssaa
+        if s > 1:
+            cam_hi = PinholeCamera(
+                fx=cam.fx * s, fy=cam.fy * s,
+                cx=cam.cx * s + (s - 1) / 2.0, cy=cam.cy * s + (s - 1) / 2.0,
+                width=cam.width * s, height=cam.height * s,
+            )
+            out = self._render_once(cam_hi, R, t)
+            out = out.reshape(cam.height, s, cam.width, s).mean(axis=(1, 3))
+            if with_depth:
+                _, z = self._render_once(cam, R, t, with_depth=True)
+                return out, z
+            return out
+        return self._render_once(cam, R, t, with_depth)
+
+    def _render_once(self, cam: PinholeCamera, R, t, with_depth: bool = False):
         H, W = cam.height, cam.width
         R = np.asarray(R)
         t = np.asarray(t)

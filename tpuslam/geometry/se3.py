@@ -145,6 +145,34 @@ def se3_log(R: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([w, v], axis=-1)
 
 
+def so3_project(R: jnp.ndarray) -> jnp.ndarray:
+    """Project near-rotations back onto SO(3) (batched 3x3).
+
+    Float32 matrix storage slowly denormalizes rotations, and two paths
+    AMPLIFY any deviation instead of preserving it: inverse-by-transpose
+    (se3_inverse: R^T is not R^-1 once R R^T != I, doubling the error) and
+    the tracker's velocity chain (predict -> optimize -> compose, once per
+    frame). Left unchecked the error compounds exponentially — observed in
+    practice as det(R) collapsing from 0.999 to 0.30 over ~30 frames of
+    sparse-keyframe mono tracking. g2o never meets this because SE3Quat
+    stores unit quaternions (renormalized every update); matrix-form SE(3)
+    needs an explicit projection at the optimizer boundaries instead.
+
+    Newton-Schulz polar iteration (X <- X (3I - X^T X) / 2) rather than an
+    SVD: polynomial in R, so it is differentiable everywhere (an SVD-based
+    projection has NaN gradients exactly in the common case here — repeated
+    singular values ~1), it batches onto the MXU as 3x3 matmuls, and it
+    converges quadratically to the orthogonal polar factor for singular
+    values in (0, sqrt(3)). Drift at the call sites is <1e-3 per call, so
+    three iterations reach float32 roundoff.
+    """
+    X = R
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), R.shape)
+    for _ in range(3):
+        X = 0.5 * X @ (3.0 * eye - jnp.swapaxes(X, -1, -2) @ X)
+    return X
+
+
 def se3_compose(R1, t1, R2, t2):
     """T1 * T2: first apply T2, then T1 (matrix convention)."""
     return R1 @ R2, (R1 @ t2[..., None])[..., 0] + t1

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from tpuslam.geometry.camera import PinholeCamera
-from tpuslam.geometry.se3 import hat, se3_exp, se3_compose
+from tpuslam.geometry.se3 import hat, se3_exp, se3_compose, so3_project
 from tpuslam.optim.robust import CHI2_MONO, CHI2_STEREO
 
 
@@ -297,4 +297,7 @@ def bundle_adjustment(
     (R, t, X, _), _ = jax.lax.scan(
         step, (prob.R, prob.t, prob.X, jnp.float32(lam0)), None, length=iters
     )
+    # Write back exact rotations: map poses feed every later composition
+    # (tracking, export, pose graph); see so3_project on why drift amplifies.
+    R = so3_project(R)
     return R, t, X, edge_chi2(R, t, X)

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from tpuslam.geometry.camera import PinholeCamera
-from tpuslam.geometry.se3 import hat, se3_exp, se3_compose
+from tpuslam.geometry.se3 import hat, se3_exp, se3_compose, so3_project
 from tpuslam.optim.linalg import solve_spd
 from tpuslam.optim.robust import CHI2_MONO, CHI2_STEREO
 
@@ -183,4 +183,8 @@ def pose_optimization(
         chi2 = edge_chi2(R, t)
         inliers = obs.valid & (chi2 <= chi2_th)
         active = inliers.astype(jnp.float32)
+    # Re-orthonormalize before the pose re-enters the tracking chain: the
+    # velocity model inverts-by-transpose, which amplifies (not preserves)
+    # any orthonormality drift accumulated by the float32 updates here.
+    R = so3_project(R)
     return R, t, inliers, jnp.sum(inliers.astype(jnp.int32), axis=-1)

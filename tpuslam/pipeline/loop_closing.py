@@ -697,8 +697,11 @@ class LoopCloser:
         pt_xyz = jnp.where(m.pt_valid[:, None], X_corr, m.pt_xyz)
 
         # SE3 recovery: R stays, t divided by s (Optimizer.cc:1000-1015).
+        # so3_project: keep stored rotations exactly orthonormal (see
+        # geometry/se3.py — transpose-inverses amplify any drift).
+        from tpuslam.geometry.se3 import so3_project
         t_se3 = t_new / jnp.maximum(s_new, 1e-9)[:, None]
-        m = m._replace(kf_R=R_new, kf_t=t_se3, pt_xyz=pt_xyz)
+        m = m._replace(kf_R=so3_project(R_new), kf_t=t_se3, pt_xyz=pt_xyz)
 
         # Full BA (the reference's post-loop global BA, :645).
         if ba_fn is not None:
