@@ -25,10 +25,15 @@ def slam_run():
     scene = StepWallScene(rng)
     n_frames = 36
     poses = orbit_trajectory(n_frames, step=0.045)
+    # 800 features ~ the reference's mono proportions (TUM1.yaml nFeatures
+    # 1000): MonocularInitialization demands 100 level-0 matches
+    # (Tracking.cc:606,637), and level 0 holds ~22% of the feature budget —
+    # a 400-feature config starves initialization for a third of the
+    # sequence, which is an extractor-budget artifact, not a tracking one.
     sys = System(
         CAM,
         SensorType.MONOCULAR,
-        orb=ORBConfig(n_features=400),
+        orb=ORBConfig(n_features=800),
         max_keyframes=40,
         max_points=6000,
         kf_max_frames=10,

@@ -22,6 +22,7 @@ from tpuslam.matching.hamming import hamming_matrix
 from tpuslam.matching.search import (
     TH_HIGH,
     TH_LOW,
+    match_nn_ratio,
     resolve_duplicates,
     rotation_consistency_mask,
     search_by_projection_points,
@@ -58,17 +59,52 @@ def track_motion_model(
     last frame's map points with the predicted pose, match in a window, then
     pose-optimize. Returns (R, t, obs_pt (N,), n_inliers).
     """
-    N = cur.xy.shape[0]
     pt_idx = last_obs_pt  # (N,) map point per last-frame keypoint
-    has_pt = (pt_idx >= 0) & last_feats.valid
+    has_pt = (pt_idx >= 0) & last_feats.valid & m.pt_valid[jnp.maximum(pt_idx, 0)]
     Xw = m.pt_xyz[jnp.maximum(pt_idx, 0)]
-    p_cam = se3_apply(R_pred, t_pred, Xw)
+    R, t, obs_pt2, _, n_map, _ = track_motion_model_pts(
+        cam, last_feats, Xw, pt_idx, has_pt, R_pred, t_pred, cur,
+        inv_sigma2_table, scale_factor=scale_factor, n_levels=n_levels, th=th,
+    )
+    return R, t, obs_pt2, n_map
+
+
+@partial(jax.jit, static_argnames=("cam", "scale_factor", "n_levels", "th"))
+def track_motion_model_pts(
+    cam: PinholeCamera,
+    last_feats: FrameFeatures,
+    last_xyz: jnp.ndarray,
+    last_tag: jnp.ndarray,
+    last_has: jnp.ndarray,
+    R_pred: jnp.ndarray,
+    t_pred: jnp.ndarray,
+    cur: FrameFeatures,
+    inv_sigma2_table: jnp.ndarray,
+    scale_factor: float = 1.2,
+    n_levels: int = 8,
+    th: float = 7.0,
+):
+    """Motion-model tracking core over explicit per-keypoint world points.
+
+    Generalizes TrackWithMotionModel to points not resident in the map: the
+    localization-mode "visual odometry" points the reference unprojects from
+    the last frame's stereo/RGB-D depths (/root/reference/src/Tracking.cc:
+    859-916) carry tag = -1; map points carry their slot index as tag.
+
+    last_xyz: (N, 3) world position per last-frame keypoint;
+    last_tag:  (N,) map point slot or -1 (VO point); last_has: (N,) valid.
+    Returns (R, t, cur_tag (N,), cur_xyz (N, 3), n_map_inliers,
+    n_total_inliers) — cur_tag/cur_xyz describe the matches the current
+    frame inherits (tag -1 + finite xyz = VO point carried forward).
+    """
+    N = cur.xy.shape[0]
+    p_cam = se3_apply(R_pred, t_pred, last_xyz)
     uv = project(cam, p_cam)
     in_front = p_cam[..., 2] > 0.05
     in_img = (
         (uv[:, 0] >= 0) & (uv[:, 0] < cam.width) & (uv[:, 1] >= 0) & (uv[:, 1] < cam.height)
     )
-    proj_valid = has_pt & in_front & in_img & m.pt_valid[jnp.maximum(pt_idx, 0)]
+    proj_valid = last_has & in_front & in_img
 
     radius = th * scale_factor ** last_feats.level.astype(jnp.float32)
     idx, dist, ok = search_by_projection_points(
@@ -88,15 +124,154 @@ def track_motion_model(
     )
     ok = rotation_consistency_mask(last_feats.angle, cur.angle[idx], ok)
 
-    # Build the observation assignment for the current frame: keypoint
-    # idx[e] observes pt_idx[e] for each accepted match e.
-    obs_pt = jnp.full((N,), -1, jnp.int32)
-    obs_pt = obs_pt.at[idx].set(jnp.where(ok, pt_idx, obs_pt[idx]))
+    # Assignment for the current frame: keypoint idx[e] inherits last
+    # keypoint e's point (tag + world position) for each accepted match e.
+    # Rejected rows scatter out of bounds (dropped); accepted rows have
+    # unique targets (resolve_duplicates inside the search).
+    idx_eff = jnp.where(ok, idx, N)
+    cur_tag = jnp.full((N,), -2, jnp.int32).at[idx_eff].set(last_tag)  # -2 = unmatched
+    cur_xyz = jnp.zeros((N, 3)).at[idx_eff].set(last_xyz)
+    matched = jnp.zeros((N,), bool).at[idx_eff].set(True) & cur.valid
+    cur_tag = jnp.where(matched, cur_tag, -2)
+    cur_xyz = jnp.where(matched[:, None], cur_xyz, 0.0)
 
-    R, t, obs_pt2, n_inl = _optimize_frame_pose(
-        cam, m, cur, obs_pt, R_pred, t_pred, inv_sigma2_table
+    uvr = jnp.concatenate([cur.xy, cur.u_right[:, None]], axis=-1)
+    inv_s2 = inv_sigma2_table[jnp.clip(cur.level, 0, inv_sigma2_table.shape[0] - 1)]
+    obs = PoseObs(pts_w=cur_xyz, uvr=uvr, inv_sigma2=inv_s2, valid=matched)
+    R, t, inliers, n_tot = pose_optimization(cam, R_pred, t_pred, obs)
+    cur_tag = jnp.where(matched & ~inliers, -2, cur_tag)
+    cur_xyz = jnp.where((matched & ~inliers)[:, None], 0.0, cur_xyz)
+    n_map = jnp.sum(inliers & (cur_tag >= 0))
+    return R, t, cur_tag, cur_xyz, n_map, n_tot
+
+
+@partial(jax.jit, static_argnames=("cam",))
+def track_reference_keyframe(
+    cam: PinholeCamera,
+    m: MapState,
+    kf: jnp.ndarray,
+    cur: FrameFeatures,
+    R0: jnp.ndarray,
+    t0: jnp.ndarray,
+    inv_sigma2_table: jnp.ndarray,
+):
+    """TrackReferenceKeyFrame (/root/reference/src/Tracking.cc:809):
+    descriptor-match the current frame against the reference keyframe's map
+    points, then pose-optimize from the last frame's pose. The reference
+    constrains candidate pairs to a shared BoW node (ORBmatcher::SearchByBoW,
+    ORBmatcher.cc:159) purely as a speed device; the dense masked matching
+    here is its superset (same ratio 0.7 + rotation-consistency gates).
+
+    Returns (R, t, obs_pt (N,), n_matches, n_map_inliers).
+    """
+    obs_k = m.kf_obs_pt[kf]
+    has_k = (obs_k >= 0) & m.kf_kp_valid[kf] & m.pt_valid[jnp.maximum(obs_k, 0)]
+    pair = cur.valid[:, None] & has_k[None, :]
+    idx, dist, ok = match_nn_ratio(
+        cur.desc, m.kf_kp_desc[kf], pair, max_dist=TH_LOW, nn_ratio=0.7
     )
-    return R, t, obs_pt2, n_inl
+    ok = rotation_consistency_mask(cur.angle, m.kf_kp_angle[kf][idx], ok)
+    ok = resolve_duplicates(idx, dist, ok, m.kf_kp_desc.shape[1])
+    n_matches = jnp.sum(ok)
+    obs_pt = jnp.where(ok, obs_k[idx], -1)
+    R, t, obs_pt2, n_inl = _optimize_frame_pose(
+        cam, m, cur, obs_pt, R0, t0, inv_sigma2_table
+    )
+    return R, t, obs_pt2, n_matches, n_inl
+
+
+@partial(jax.jit, static_argnames=("cam", "scale_factor", "n_levels", "window", "max_desc_dist"))
+def reloc_search_by_projection(
+    cam: PinholeCamera,
+    m: MapState,
+    kf: jnp.ndarray,
+    R: jnp.ndarray,
+    t: jnp.ndarray,
+    cur: FrameFeatures,
+    obs_pt: jnp.ndarray,
+    scale_factor: float = 1.2,
+    n_levels: int = 8,
+    window: float = 10.0,
+    max_desc_dist: int = 100,
+):
+    """Relocalization projective widening (ORBmatcher::SearchByProjection
+    reloc variant, /root/reference/src/ORBmatcher.cc:1540, driven by
+    Tracking::Relocalization:1499-1533): project the candidate keyframe's
+    map points with the current pose estimate and match into still-free
+    keypoints, excluding points already found. Returns (obs_pt, n_added).
+    """
+    obs_k = m.kf_obs_pt[kf]
+    pt_idx = jnp.maximum(obs_k, 0)
+    has_k = (obs_k >= 0) & m.kf_kp_valid[kf] & m.pt_valid[pt_idx]
+    # Seen-set exclusion (sFound): skip points already assigned this frame.
+    P = m.capacity_pt
+    already = jnp.zeros((P,), bool).at[jnp.maximum(obs_pt, 0)].set(obs_pt >= 0)
+    cand = has_k & ~already[pt_idx]
+
+    Xw = m.pt_xyz[pt_idx]
+    p_cam = se3_apply(R, t, Xw)
+    uv = project(cam, p_cam)
+    in_img = (
+        (uv[:, 0] >= 0) & (uv[:, 0] < cam.width) & (uv[:, 1] >= 0) & (uv[:, 1] < cam.height)
+    )
+    C = -(R.T @ t)
+    dist_w = jnp.linalg.norm(Xw - C, axis=-1)
+    in_range = (dist_w >= m.pt_min_dist[pt_idx]) & (dist_w <= m.pt_max_dist[pt_idx])
+    cand = cand & (p_cam[:, 2] > 0.05) & in_img & in_range
+
+    pred_lvl = predict_scale(dist_w, m.pt_max_dist[pt_idx], scale_factor, n_levels)
+    radius = window * scale_factor ** pred_lvl.astype(jnp.float32)
+    kp_taken = obs_pt >= 0
+    idx, d, ok = search_by_projection_points(
+        uv,
+        m.pt_desc[pt_idx],
+        cand,
+        radius,
+        jnp.maximum(pred_lvl - 1, 0),
+        pred_lvl + 1,
+        cur.xy,
+        cur.desc,
+        cur.level,
+        cur.angle,
+        cur.valid & ~kp_taken,
+        max_dist=max_desc_dist,
+        nn_ratio=0.0,
+    )
+    # Row e of the search is the candidate point held by KF keypoint e; its
+    # matched frame keypoint is idx[e].
+    new_obs = obs_pt.at[idx].set(
+        jnp.where(ok & (obs_pt[idx] < 0), obs_k, obs_pt[idx])
+    )
+    n_added = jnp.sum(new_obs >= 0) - jnp.sum(obs_pt >= 0)
+    return new_obs, n_added
+
+
+@partial(jax.jit, static_argnames=("cam",))
+def optimize_frame_pose(cam, m, cur, obs_pt, R0, t0, inv_sigma2_table):
+    """Standalone pose optimization from an observation assignment (the
+    Optimizer::PoseOptimization calls scattered through Tracking::
+    Relocalization, /root/reference/src/Tracking.cc:1493-1533). Returns
+    (R, t, obs_pt, n_inliers)."""
+    return _optimize_frame_pose(cam, m, cur, obs_pt, R0, t0, inv_sigma2_table)
+
+
+@jax.jit
+def tracked_map_points(m: MapState, kf: jnp.ndarray, min_obs: jnp.ndarray):
+    """KeyFrame::TrackedMapPoints (/root/reference/src/KeyFrame.cc:250):
+    number of the keyframe's observed map points with >= min_obs total
+    observations."""
+    P = m.capacity_pt
+    has = (m.kf_obs_pt >= 0) & m.kf_kp_valid & m.kf_valid[:, None]
+    flat = jnp.where(has, m.kf_obs_pt, P).reshape(-1)
+    cnt = jnp.zeros((P + 1,)).at[flat].add(1.0)[:P]
+    obs_k = m.kf_obs_pt[kf]
+    ok = (
+        (obs_k >= 0)
+        & m.kf_kp_valid[kf]
+        & m.pt_valid[jnp.maximum(obs_k, 0)]
+        & (cnt[jnp.maximum(obs_k, 0)] >= min_obs)
+    )
+    return jnp.sum(ok)
 
 
 def _optimize_frame_pose(cam, m, cur, obs_pt, R0, t0, inv_sigma2_table):
@@ -432,11 +607,19 @@ def local_bundle_adjustment(
 
 
 @jax.jit
-def cull_map_points(m: MapState, current_kf: jnp.ndarray):
+def cull_map_points(m: MapState, current_kf: jnp.ndarray, min_kf_obs: float = 3.0):
     """MapPointCulling (/root/reference/src/LocalMapping.cc:170): invalidate
-    points whose tracked/visible ratio is below 0.25, or that are still
-    observed by fewer than 2 keyframes a couple of keyframes after creation.
-    Culled points are detached from every observation slot.
+    points whose tracked/visible ratio is below 0.25, or that are not yet
+    observed by enough keyframes two keyframes after creation. Culled points
+    are detached from every observation slot.
+
+    min_kf_obs: keyframe-observation survival threshold, in KF counts. The
+    reference culls at Observations() <= cnThObs with cnThObs = 2 (mono) /
+    3 (stereo+RGB-D) where a stereo observation counts 2 (MapPoint.cc:98) —
+    i.e. a mono point must reach 3 distinct keyframes, a stereo point 2.
+    Two-view-only mono triangulations are near the parallax threshold and
+    systematically biased; keeping them poisons local BA at sparse keyframe
+    cadence.
     """
     P = m.capacity_pt
     ratio = m.pt_found / jnp.maximum(m.pt_visible, 1.0)
@@ -447,7 +630,7 @@ def cull_map_points(m: MapState, current_kf: jnp.ndarray):
     age = current_kf - m.pt_first_kf  # in keyframes
     bad = m.pt_valid & (
         ((ratio < 0.25) & (m.pt_visible >= 4.0))
-        | ((age >= 2) & (cnt < 2.0))
+        | ((age >= 2) & (cnt < min_kf_obs))
     )
     obs = m.kf_obs_pt
     obs_bad = bad[jnp.maximum(obs, 0)] & (obs >= 0)

@@ -53,10 +53,12 @@ class TrackerConfig:
     max_keyframes: int = 150
     max_points: int = 15000
     # Keyframe cadence (Tracking::NeedNewKeyFrame, Tracking.cc:1029):
-    # mMaxFrames = fps, ref-ratio 0.9.
+    # mMaxFrames = fps; ref-ratio 0.9 mono / 0.75 stereo+RGB-D
+    # (Tracking.cc:1073-1079).
     kf_max_frames: int = 30
     kf_min_frames: int = 1
     kf_ref_ratio: float = 0.9
+    kf_ref_ratio_depth: float = 0.75
     min_inliers_ok: int = 30       # TrackLocalMap acceptance (Tracking.cc:1020)
     min_inliers_motion: int = 10   # motion-model acceptance (Tracking.cc:962)
     local_ba_window: int = 8
@@ -113,9 +115,20 @@ class Tracker:
         self._last_kf_idx = -1
         self._ref_kf_tracked = 0
         self._key = jax.random.PRNGKey(0)
+        # Post-relocalization bookkeeping (mnLastRelocFrameId): gates the
+        # ref-KF tracking window, the TrackLocalMap inlier threshold, and
+        # keyframe insertion (Tracking.cc:327,1020,1041).
+        self._last_reloc_frame_id = -(10**9)
         # Localization-only mode (System::ActivateLocalizationMode,
         # /root/reference/src/System.cc:240-272): track against a frozen map.
         self.localization_mode = False
+        # Localization-mode visual odometry (Tracking.cc:355-414): temporal
+        # points unprojected from the last frame's close stereo/RGB-D depths
+        # keep tracking alive through map-sparse regions. _vo_mode plays
+        # mbVO (last frame tracked mostly VO points, not the map).
+        self._vo_mode = False
+        self._vo_xyz = None    # (N, 3) world pos per last-frame keypoint
+        self._vo_valid = None  # (N,) VO-point mask
         # Async mapping worker (single-slot, mirrors SetAcceptKeyFrames).
         self._mapping_future = None
         self._mapping_pool = None
@@ -422,26 +435,58 @@ class Tracker:
             return se3_compose(Rv, tv, self._last_R, self._last_t)
         return self._last_R, self._last_t
 
-    def _track_frame(self, feats: FrameFeatures, frame_id: int) -> bool:
+    def _initial_pose_estimate(self, feats: FrameFeatures, frame_id: int):
+        """Initial camera pose (Tracking::Track, /root/reference/src/
+        Tracking.cc:327-338): motion model when a velocity exists and we are
+        not fresh out of relocalization; TrackReferenceKeyFrame otherwise,
+        and as the fallback when the motion model fails.
+
+        Returns (ok, R, t, obs)."""
         cfg = self.cfg
-        # Adopt any finished background mapping result (snapshot swap).
-        self._poll_mapping()
-        R_pred, t_pred = self._predict_pose()
-        R, t, obs, n_inl = steps.track_motion_model(
-            cfg.cam, self.map, self._last_feats, self._last_obs,
-            R_pred, t_pred, feats, self.inv_sigma2,
-            scale_factor=cfg.orb.scale_factor, n_levels=cfg.orb.n_levels,
-            th=7.0,
+        use_ref_only = (
+            self._velocity is None or frame_id < self._last_reloc_frame_id + 2
         )
-        if int(n_inl) < cfg.min_inliers_motion:
-            # Wider window retry (Tracking.cc:944: th=2x for stereo/mono retry).
+        if not use_ref_only:
+            R_pred, t_pred = self._predict_pose()
             R, t, obs, n_inl = steps.track_motion_model(
                 cfg.cam, self.map, self._last_feats, self._last_obs,
                 R_pred, t_pred, feats, self.inv_sigma2,
                 scale_factor=cfg.orb.scale_factor, n_levels=cfg.orb.n_levels,
-                th=14.0,
+                th=7.0,
             )
-        if int(n_inl) < cfg.min_inliers_motion:
+            if int(n_inl) < cfg.min_inliers_motion:
+                # Wider window retry (Tracking.cc:944: th=2x retry).
+                R, t, obs, n_inl = steps.track_motion_model(
+                    cfg.cam, self.map, self._last_feats, self._last_obs,
+                    R_pred, t_pred, feats, self.inv_sigma2,
+                    scale_factor=cfg.orb.scale_factor, n_levels=cfg.orb.n_levels,
+                    th=14.0,
+                )
+            if int(n_inl) >= cfg.min_inliers_motion:
+                return True, R, t, obs
+        # TrackReferenceKeyFrame (Tracking.cc:809): BoW-style descriptor
+        # match against the reference keyframe from the last frame's pose.
+        ref = self._last_kf_idx
+        if ref < 0:
+            return False, None, None, None
+        R, t, obs, n_matches, n_inl = steps.track_reference_keyframe(
+            cfg.cam, self.map, jnp.int32(ref), feats,
+            self._last_R, self._last_t, self.inv_sigma2,
+        )
+        # >= 15 matches to attempt, >= 10 map inliers to accept
+        # (Tracking.cc:821,851).
+        if int(n_matches) < 15 or int(n_inl) < 10:
+            return False, None, None, None
+        return True, R, t, obs
+
+    def _track_frame(self, feats: FrameFeatures, frame_id: int) -> bool:
+        cfg = self.cfg
+        # Adopt any finished background mapping result (snapshot swap).
+        self._poll_mapping()
+        if self.localization_mode and self._depth_mode:
+            return self._track_frame_localization(feats, frame_id)
+        ok, R, t, obs = self._initial_pose_estimate(feats, frame_id)
+        if not ok:
             return False
 
         R, t, obs, n_inl, visible, found = steps.track_local_map(
@@ -449,7 +494,14 @@ class Tracker:
             scale_factor=cfg.orb.scale_factor, n_levels=cfg.orb.n_levels,
         )
         n_tracked = int(n_inl)
-        if n_tracked < cfg.min_inliers_ok:
+        # Stricter acceptance right after relocalization (Tracking.cc:1020:
+        # < 50 inliers within mMaxFrames of a reloc fails TrackLocalMap).
+        thr = (
+            max(cfg.min_inliers_ok, 50)
+            if frame_id < self._last_reloc_frame_id + cfg.kf_max_frames
+            else cfg.min_inliers_ok
+        )
+        if n_tracked < thr:
             return False
 
         # Bookkeeping.
@@ -464,7 +516,7 @@ class Tracker:
         self._last_obs = obs
         self._frames_since_kf += 1
 
-        if self._need_new_keyframe(n_tracked):
+        if self._need_new_keyframe(n_tracked, frame_id, feats, obs):
             self._create_keyframe(feats, obs, R, t, frame_id)
         # Record AFTER any keyframe creation: _create_keyframe refines the
         # pose with local BA and updates _last_R/_last_t; recording the
@@ -473,28 +525,185 @@ class Tracker:
         self._record_pose(frame_id, self._last_R, self._last_t)
         return True
 
-    def _need_new_keyframe(self, n_tracked: int) -> bool:
-        """Condensed NeedNewKeyFrame (/root/reference/src/Tracking.cc:1029):
-        cadence limit OR tracked fraction below 0.9x of the reference KF,
-        with a minimum of matches to be worth inserting."""
+    def _need_new_keyframe(
+        self, n_tracked: int, frame_id: int, feats: FrameFeatures, obs
+    ) -> bool:
+        """NeedNewKeyFrame (/root/reference/src/Tracking.cc:1029), full
+        policy: post-relocalization gate, mapping-idle condition c1b,
+        stereo/RGB-D close-point pressure (bNeedToInsertClose) and weak-
+        tracking c1c, ref-ratio 0.9 mono / 0.75 depth / 0.4 tiny map."""
         cfg = self.cfg
         if self.localization_mode:
             return False  # mbOnlyTracking (Tracking.cc:1031)
-        # At capacity, insertion proceeds by recycling a culled slot or
-        # force-evicting the least-useful keyframe (_recycle_kf_slot);
-        # _create_keyframe backs out silently if neither is possible.
-        if n_tracked < 15:
+        n_kf = int(jnp.sum(self.map.kf_valid))
+        # Do not insert right after relocalization on an established map
+        # (Tracking.cc:1040-1041).
+        if (
+            frame_id < self._last_reloc_frame_id + cfg.kf_max_frames
+            and n_kf > cfg.kf_max_frames
+        ):
             return False
-        c1 = self._frames_since_kf >= cfg.kf_max_frames
-        c2 = (
-            n_tracked < cfg.kf_ref_ratio * max(self._ref_kf_tracked, 1)
-            and self._frames_since_kf >= cfg.kf_min_frames
+        min_obs = 2 if n_kf <= 2 else 3
+        ref_matches = int(
+            steps.tracked_map_points(
+                self.map, jnp.int32(max(self._last_kf_idx, 0)), jnp.float32(min_obs)
+            )
         )
-        # Emergency insertion: tracking about to die bypasses the min-frames
-        # gate — the reference's c1c condition (matches < 0.25x ref,
-        # Tracking.cc:1072) is not gated by mMinFrames either.
-        c3 = n_tracked < 0.25 * max(self._ref_kf_tracked, 1)
-        return bool(c1 or c2 or c3)
+        idle = self._mapping_future is None or self._mapping_future.done()
+        # Close-point pressure (Tracking.cc:1054-1070): many close depths
+        # could become points but few are tracked.
+        need_close = False
+        if self._depth_mode:
+            close = (feats.depth > 0) & (feats.depth < self._th_depth) & feats.valid
+            tracked_close = int(jnp.sum(close & (obs >= 0)))
+            untracked_close = int(jnp.sum(close & (obs < 0)))
+            need_close = (tracked_close < 100) and (untracked_close > 70)
+        if n_kf < 2:
+            th_ref = 0.4
+        elif self._depth_mode:
+            th_ref = cfg.kf_ref_ratio_depth
+        else:
+            th_ref = cfg.kf_ref_ratio
+        c1a = self._frames_since_kf >= cfg.kf_max_frames
+        c1b = self._frames_since_kf >= cfg.kf_min_frames and idle
+        c1c = self._depth_mode and (
+            n_tracked < 0.25 * ref_matches or need_close
+        )
+        c2 = (n_tracked < th_ref * ref_matches or need_close) and n_tracked > 15
+        if not ((c1a or c1b or c1c) and c2):
+            return False
+        if idle:
+            return True
+        # Mapping busy: the reference interrupts BA and lets stereo/RGB-D
+        # insert if the queue holds < 3 keyframes (Tracking.cc:1092-1105);
+        # this pipeline's queue is single-slot and _create_keyframe joins
+        # the in-flight job (the InterruptBA analog), so depth sensors
+        # proceed and mono waits.
+        return self._depth_mode
+
+    # ------------------------------------------ localization-mode tracking
+
+    def _track_frame_localization(self, feats: FrameFeatures, frame_id: int) -> bool:
+        """Localization-only tracking for stereo/RGB-D with temporal
+        visual-odometry points (/root/reference/src/Tracking.cc:343-421):
+        the motion model tracks the last frame's map points PLUS VO points
+        unprojected from its close depths, so tracking survives map-sparse
+        regions; when the last frame tracked mostly VO points (mbVO),
+        relocalization runs in parallel and is preferred when it succeeds."""
+        cfg = self.cfg
+        m = self.map
+        last = self._last_feats
+        # Last-frame point table: map points, then VO points where no map
+        # point is held (UpdateLastFrame, Tracking.cc:859-916 — VO creation
+        # happened at the end of the previous frame, _update_vo_points).
+        tag0 = self._last_obs
+        has_map = (tag0 >= 0) & last.valid & m.pt_valid[jnp.maximum(tag0, 0)]
+        xyz = m.pt_xyz[jnp.maximum(tag0, 0)]
+        tags = jnp.where(has_map, tag0, -1)
+        has = has_map
+        if self._vo_xyz is not None:
+            vo = self._vo_valid & ~has_map & last.valid
+            xyz = jnp.where(vo[:, None], self._vo_xyz, xyz)
+            has = has_map | vo
+
+        def run_motion_model():
+            R_pred, t_pred = self._predict_pose()
+            for th in (7.0, 14.0):
+                R, t, ct, cx, n_map, n_tot = steps.track_motion_model_pts(
+                    cfg.cam, last, xyz, tags, has, R_pred, t_pred, feats,
+                    self.inv_sigma2, scale_factor=cfg.orb.scale_factor,
+                    n_levels=cfg.orb.n_levels, th=th,
+                )
+                # Acceptance: > 20 total (map + VO) inliers (Tracking.cc:970).
+                if int(n_tot) > 20:
+                    return R, t, ct, cx, int(n_map)
+            return None
+
+        mm = None
+        used_reloc = False
+        if not self._vo_mode:
+            mm = run_motion_model() if self._velocity is not None else None
+            if mm is None and self._last_kf_idx >= 0:
+                # TrackReferenceKeyFrame path (Tracking.cc:364-366).
+                R, t, obs, n_matches, n_inl = steps.track_reference_keyframe(
+                    cfg.cam, m, jnp.int32(self._last_kf_idx), feats,
+                    self._last_R, self._last_t, self.inv_sigma2,
+                )
+                if int(n_matches) >= 15 and int(n_inl) >= 10:
+                    ct = jnp.where(obs >= 0, obs, -2)
+                    cx = jnp.where(
+                        (obs >= 0)[:, None], m.pt_xyz[jnp.maximum(obs, 0)], 0.0
+                    )
+                    mm = (R, t, ct, cx, int(n_inl))
+        else:
+            # mbVO: compute both the motion-model and the relocalization
+            # pose; prefer relocalization (Tracking.cc:369-410).
+            mm = run_motion_model() if self._velocity is not None else None
+            used_reloc = self._relocalize(feats, frame_id)
+            if used_reloc:
+                self._vo_mode = False
+        if not used_reloc and mm is None:
+            return False
+
+        if used_reloc:
+            # _relocalize already polished with TrackLocalMap and set the
+            # frame state; only the VO bookkeeping remains.
+            R, t = self._last_R, self._last_t
+            cur_tag = jnp.where(self._last_obs >= 0, self._last_obs, -2)
+            cur_xyz = jnp.zeros((feats.xy.shape[0], 3))
+            self._record_pose(frame_id, R, t)
+        else:
+            R, t, cur_tag, cur_xyz, n_map = mm
+            self._vo_mode = n_map < 10  # mbVO update (Tracking.cc:965-968)
+            if not self._vo_mode:
+                # TrackLocalMap over the frozen map (Tracking.cc:430-436:
+                # skipped while mbVO). VO matches don't join this pose
+                # refinement (they are temporal, not in the map).
+                obs_map = jnp.where(cur_tag >= 0, cur_tag, -1)
+                R, t, obs_map, n_inl, visible, found = steps.track_local_map(
+                    cfg.cam, m, R, t, feats, obs_map, self.inv_sigma2,
+                    scale_factor=cfg.orb.scale_factor, n_levels=cfg.orb.n_levels,
+                )
+                if int(n_inl) < cfg.min_inliers_ok:
+                    return False
+                self.map = self.map._replace(
+                    pt_visible=self.map.pt_visible + visible.astype(jnp.float32),
+                    pt_found=self.map.pt_found + found.astype(jnp.float32),
+                )
+                cur_tag = jnp.where(
+                    obs_map >= 0, obs_map, jnp.where(cur_tag == -1, -1, -2)
+                )
+            Rl_inv, tl_inv = se3_inverse(self._last_R, self._last_t)
+            self._velocity = se3_compose(R, t, Rl_inv, tl_inv)
+            self._last_R, self._last_t = R, t
+            self._last_feats = feats
+            self._last_obs = jnp.where(cur_tag >= 0, cur_tag, -1)
+            self._record_pose(frame_id, R, t)
+        self._frames_since_kf += 1
+        self._update_vo_points(feats, cur_tag, cur_xyz, R, t)
+        return True
+
+    def _update_vo_points(self, feats, cur_tag, cur_xyz, R, t):
+        """Create the NEXT frame's temporal VO points (Tracking::
+        UpdateLastFrame, /root/reference/src/Tracking.cc:859-916): unproject
+        keypoints with valid depth that track no map point — every one
+        closer than th_depth, topped up to the 100 nearest. Carried-forward
+        VO matches (tag -1) keep their triangulated position."""
+        from tpuslam.geometry.camera import unproject
+
+        c = self.cfg.cam
+        d = feats.depth
+        has_d = (d > 0) & feats.valid
+        untracked = cur_tag < 0
+        order_d = jnp.where(has_d, d, jnp.inf)
+        rank = jnp.argsort(jnp.argsort(order_d))
+        create = has_d & untracked & ((d < self._th_depth) | (rank < 100))
+        Xc = unproject(c, feats.xy, d)
+        Ri, ti = se3_inverse(R, t)
+        Xw = se3_apply(Ri, ti, Xc)
+        carried = cur_tag == -1
+        self._vo_xyz = jnp.where(carried[:, None], cur_xyz, Xw)
+        self._vo_valid = carried | create
 
     def _create_keyframe(self, feats, obs, R, t, frame_id):
         cfg = self.cfg
@@ -735,8 +944,12 @@ class Tracker:
             m = m._replace(
                 kf_obs_pt=m.kf_obs_pt.at[ki_int].set(obs_new).at[prev].set(obs_old)
             )
-        # Recent-point culling (LocalMapping::MapPointCulling).
-        m = steps.cull_map_points(m, jnp.int32(ki_int))
+        # Recent-point culling (LocalMapping::MapPointCulling): a mono point
+        # must reach 3 keyframes within 2 KFs of creation, stereo/RGB-D 2
+        # (reference cnThObs with stereo observations counting double).
+        m = steps.cull_map_points(
+            m, jnp.int32(ki_int), jnp.float32(2.0 if self._depth_mode else 3.0)
+        )
         # Duplicate-point fusion with the best covisible neighbors
         # (LocalMapping::SearchInNeighbors).
         for prev in self._best_covisible(m, ki_int, 3):
@@ -818,18 +1031,21 @@ class Tracker:
     def _relocalize(self, feats: FrameFeatures, frame_id: int) -> bool:
         """Relocalization (Tracking::Relocalization, Tracking.cc:1393): BoW
         keyframe candidates -> per-candidate descriptor matching -> EPnP
-        RANSAC -> local-map polish. Falls back to brute-force matching over
-        all map points when no vocabulary has been trained yet."""
+        RANSAC -> pose optimization -> two rounds of projective widening to
+        reach 50 inliers (Tracking.cc:1462-1533) -> local-map polish. Falls
+        back to brute-force matching over all map points when no vocabulary
+        has been trained yet."""
         m = self.map
+        cfg = self.cfg
         n = feats.xy.shape[0]
         cand_kfs = self._reloc_candidate_kfs(feats)
 
-        attempts = []
+        attempts = []  # (pt_idx (N,), valid (N,), source_kf or -1)
         if cand_kfs:
             for kf in cand_kfs:
                 pt_idx, ok = self._match_frame_to_kf_points(feats, kf)
                 if int(jnp.sum(ok)) >= 15:
-                    attempts.append((pt_idx, ok))
+                    attempts.append((pt_idx, ok, kf))
         if not attempts:
             # Brute force over all points (small-map fallback).
             pair = m.pt_valid[:, None] & feats.valid[None, :]
@@ -842,35 +1058,78 @@ class Tracker:
             pt_idx = pt_idx.at[idx].set(
                 jnp.where(ok, jnp.arange(m.capacity_pt, dtype=jnp.int32), pt_idx[idx])
             )
-            attempts.append((pt_idx, pt_idx >= 0))
+            attempts.append((pt_idx, pt_idx >= 0, -1))
 
-        res = None
-        sel = None
-        for pt_idx, ok in attempts:
+        best = None  # (n_inl, R, t, obs)
+        for pt_idx, ok, kf in attempts:
             r = pnp_ransac(
-                self._next_key(), self.cfg.cam.K,
+                self._next_key(), cfg.cam.K,
                 m.pt_xyz[jnp.maximum(pt_idx, 0)], feats.xy,
                 jnp.ones(n), ok & (pt_idx >= 0),
                 min_inliers=15,
             )
-            if bool(r.success):
-                res = r
-                sel = ok & (pt_idx >= 0) & r.inliers
-                chosen_pt_idx = pt_idx
+            if not bool(r.success):
+                continue
+            sel = ok & (pt_idx >= 0) & r.inliers
+            obs = jnp.where(sel, pt_idx, -1)
+            R, t, obs, n_inl = steps.optimize_frame_pose(
+                cfg.cam, m, feats, obs, r.R, r.t, self.inv_sigma2
+            )
+            n_good = int(n_inl)
+            if n_good < 10:
+                continue
+            if n_good < 50 and kf >= 0:
+                # First widening: project the candidate KF's points with the
+                # PnP pose, coarse window (Tracking.cc:1499-1508).
+                obs, n_add = steps.reloc_search_by_projection(
+                    cfg.cam, m, jnp.int32(kf), R, t, feats, obs,
+                    scale_factor=cfg.orb.scale_factor, n_levels=cfg.orb.n_levels,
+                    window=10.0, max_desc_dist=100,
+                )
+                if n_good + int(n_add) >= 50:
+                    R, t, obs, n_inl = steps.optimize_frame_pose(
+                        cfg.cam, m, feats, obs, R, t, self.inv_sigma2
+                    )
+                    n_good = int(n_inl)
+                    if 30 < n_good < 50:
+                        # Second widening: narrower window, stricter
+                        # descriptor gate (Tracking.cc:1513-1533).
+                        obs, n_add = steps.reloc_search_by_projection(
+                            cfg.cam, m, jnp.int32(kf), R, t, feats, obs,
+                            scale_factor=cfg.orb.scale_factor,
+                            n_levels=cfg.orb.n_levels,
+                            window=3.0, max_desc_dist=64,
+                        )
+                        if n_good + int(n_add) >= 50:
+                            R, t, obs, n_inl = steps.optimize_frame_pose(
+                                cfg.cam, m, feats, obs, R, t, self.inv_sigma2
+                            )
+                            n_good = int(n_inl)
+            # Acceptance: >= 50 inliers on the BoW-candidate path
+            # (Tracking.cc:1536 bMatch); the brute-force fallback (kf < 0,
+            # a small-map extension the reference lacks) accepts the
+            # configured minimum and leaves the rest to the local-map gate.
+            accept = 50 if kf >= 0 else cfg.min_inliers_ok
+            if n_good >= accept and (best is None or n_good > best[0]):
+                best = (n_good, R, t, obs)
+            if n_good >= 50:
                 break
-        if res is None:
+        if best is None:
             return False
-        obs = jnp.where(sel, chosen_pt_idx, -1)
+        n_good, R, t, obs = best
+        # Local-map polish (the Track() continuation after a successful
+        # relocalization, Tracking.cc:423).
         R, t, obs, n_inl, visible, found = steps.track_local_map(
-            self.cfg.cam, m, res.R, res.t, feats, obs, self.inv_sigma2,
-            scale_factor=self.cfg.orb.scale_factor, n_levels=self.cfg.orb.n_levels,
+            cfg.cam, m, R, t, feats, obs, self.inv_sigma2,
+            scale_factor=cfg.orb.scale_factor, n_levels=cfg.orb.n_levels,
         )
-        if int(n_inl) < self.cfg.min_inliers_ok:
+        if int(n_inl) < cfg.min_inliers_ok:
             return False
         self._last_R, self._last_t = R, t
         self._last_feats = feats
         self._last_obs = obs
         self._velocity = None
+        self._last_reloc_frame_id = frame_id
         return True
 
     def reset(self):
