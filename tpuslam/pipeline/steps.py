@@ -62,11 +62,11 @@ def track_motion_model(
     pt_idx = last_obs_pt  # (N,) map point per last-frame keypoint
     has_pt = (pt_idx >= 0) & last_feats.valid & m.pt_valid[jnp.maximum(pt_idx, 0)]
     Xw = m.pt_xyz[jnp.maximum(pt_idx, 0)]
-    R, t, obs_pt2, _, n_map, _ = track_motion_model_pts(
+    R, t, obs_pt2, _, n_map, _, n_matches = track_motion_model_pts(
         cam, last_feats, Xw, pt_idx, has_pt, R_pred, t_pred, cur,
         inv_sigma2_table, scale_factor=scale_factor, n_levels=n_levels, th=th,
     )
-    return R, t, obs_pt2, n_map
+    return R, t, obs_pt2, n_map, n_matches
 
 
 @partial(jax.jit, static_argnames=("cam", "scale_factor", "n_levels", "th"))
@@ -94,8 +94,12 @@ def track_motion_model_pts(
     last_xyz: (N, 3) world position per last-frame keypoint;
     last_tag:  (N,) map point slot or -1 (VO point); last_has: (N,) valid.
     Returns (R, t, cur_tag (N,), cur_xyz (N, 3), n_map_inliers,
-    n_total_inliers) — cur_tag/cur_xyz describe the matches the current
-    frame inherits (tag -1 + finite xyz = VO point carried forward).
+    n_total_inliers, n_matches) — cur_tag/cur_xyz describe the matches the
+    current frame inherits (tag -1 + finite xyz = VO point carried
+    forward); n_matches is the PRE-optimization match count, which the
+    caller must gate at >= 20 before trusting the pose (Tracking.cc:
+    944-947 — a handful of aliased window matches can "converge" with 10+
+    inliers at a wildly wrong pose).
     """
     N = cur.xy.shape[0]
     p_cam = se3_apply(R_pred, t_pred, last_xyz)
@@ -134,6 +138,7 @@ def track_motion_model_pts(
     matched = jnp.zeros((N,), bool).at[idx_eff].set(True) & cur.valid
     cur_tag = jnp.where(matched, cur_tag, -2)
     cur_xyz = jnp.where(matched[:, None], cur_xyz, 0.0)
+    n_matches = jnp.sum(matched)
 
     uvr = jnp.concatenate([cur.xy, cur.u_right[:, None]], axis=-1)
     inv_s2 = inv_sigma2_table[jnp.clip(cur.level, 0, inv_sigma2_table.shape[0] - 1)]
@@ -142,7 +147,7 @@ def track_motion_model_pts(
     cur_tag = jnp.where(matched & ~inliers, -2, cur_tag)
     cur_xyz = jnp.where((matched & ~inliers)[:, None], 0.0, cur_xyz)
     n_map = jnp.sum(inliers & (cur_tag >= 0))
-    return R, t, cur_tag, cur_xyz, n_map, n_tot
+    return R, t, cur_tag, cur_xyz, n_map, n_tot, n_matches
 
 
 @partial(jax.jit, static_argnames=("cam",))

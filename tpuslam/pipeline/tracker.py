@@ -448,21 +448,25 @@ class Tracker:
         )
         if not use_ref_only:
             R_pred, t_pred = self._predict_pose()
-            R, t, obs, n_inl = steps.track_motion_model(
+            R, t, obs, n_inl, n_matches = steps.track_motion_model(
                 cfg.cam, self.map, self._last_feats, self._last_obs,
                 R_pred, t_pred, feats, self.inv_sigma2,
                 scale_factor=cfg.orb.scale_factor, n_levels=cfg.orb.n_levels,
                 th=7.0,
             )
-            if int(n_inl) < cfg.min_inliers_motion:
+            if int(n_matches) < 20 or int(n_inl) < cfg.min_inliers_motion:
                 # Wider window retry (Tracking.cc:944: th=2x retry).
-                R, t, obs, n_inl = steps.track_motion_model(
+                R, t, obs, n_inl, n_matches = steps.track_motion_model(
                     cfg.cam, self.map, self._last_feats, self._last_obs,
                     R_pred, t_pred, feats, self.inv_sigma2,
                     scale_factor=cfg.orb.scale_factor, n_levels=cfg.orb.n_levels,
                     th=14.0,
                 )
-            if int(n_inl) >= cfg.min_inliers_motion:
+            # The reference demands >= 20 raw matches BEFORE trusting the
+            # optimization (Tracking.cc:944-947): a handful of aliased
+            # window matches can "converge" with 10+ inliers at a wildly
+            # wrong pose, and only the match-count gate catches it.
+            if int(n_matches) >= 20 and int(n_inl) >= cfg.min_inliers_motion:
                 return True, R, t, obs
         # TrackReferenceKeyFrame (Tracking.cc:809): BoW-style descriptor
         # match against the reference keyframe from the last frame's pose.
@@ -609,13 +613,14 @@ class Tracker:
         def run_motion_model():
             R_pred, t_pred = self._predict_pose()
             for th in (7.0, 14.0):
-                R, t, ct, cx, n_map, n_tot = steps.track_motion_model_pts(
+                R, t, ct, cx, n_map, n_tot, n_m = steps.track_motion_model_pts(
                     cfg.cam, last, xyz, tags, has, R_pred, t_pred, feats,
                     self.inv_sigma2, scale_factor=cfg.orb.scale_factor,
                     n_levels=cfg.orb.n_levels, th=th,
                 )
-                # Acceptance: > 20 total (map + VO) inliers (Tracking.cc:970).
-                if int(n_tot) > 20:
+                # Acceptance: >= 20 matches pre-opt (Tracking.cc:944-947)
+                # and > 20 total (map + VO) inliers (Tracking.cc:970).
+                if int(n_m) >= 20 and int(n_tot) > 20:
                     return R, t, ct, cx, int(n_map)
             return None
 
