@@ -78,6 +78,11 @@ class TrackerConfig:
     # tracker's chip; set mapping_process_platform for a pod's mapping host.
     mapping_process: bool = False
     mapping_process_platform: str = "cpu"
+    # Distributed bundle adjustment (SURVEY.md §2.4 P7): when >= 2, global
+    # BA and local BA run point-sharded over a 1-D mesh of the first
+    # `dist_ba_devices` devices (point blocks + their edges per device,
+    # pose system psum'd over ICI; parallel/dist_ba.py). 0 = single-device.
+    dist_ba_devices: int = 0
 
 
 class Tracker:
@@ -157,6 +162,20 @@ class Tracker:
 
             self._remote_mapper = RemoteMappingWorker(
                 config, platform=config.mapping_process_platform
+            )
+        # Distributed-BA mesh (model-parallel point sharding over ICI).
+        self._ba_mesh = None
+        if config.dist_ba_devices >= 2:
+            from jax.sharding import Mesh
+
+            devs = jax.devices()
+            if len(devs) < config.dist_ba_devices:
+                raise ValueError(
+                    f"dist_ba_devices={config.dist_ba_devices} but only "
+                    f"{len(devs)} devices are visible"
+                )
+            self._ba_mesh = Mesh(
+                np.array(devs[: config.dist_ba_devices]), ("points",)
             )
         # Loop closing (scale fixed once depth-based init is used).
         self._depth_mode = False
@@ -350,8 +369,53 @@ class Tracker:
             fixed_kf=~m.kf_valid | (jnp.arange(K) == 0),
             fixed_pt=~m.pt_valid,
         )
-        R, t, X, _ = bundle_adjustment(self.cfg.cam, prob, iters=iters)
+        R, t, X, _ = self._run_ba(prob, iters=iters)
         return m._replace(kf_R=R, kf_t=t, pt_xyz=X)
+
+    def _run_ba(self, prob: BAProblem, iters: int):
+        """Dispatch a BA problem to the single-device solver or, when a mesh
+        is configured, the point-sharded model-parallel solver (point blocks
+        + their edges per device, pose system psum'd; parallel/dist_ba.py).
+        Both reach the same stationary points."""
+        if self._ba_mesh is None:
+            return bundle_adjustment(self.cfg.cam, prob, iters=iters)
+        from tpuslam.parallel.dist_ba import point_sharded_bundle_adjustment
+
+        return point_sharded_bundle_adjustment(
+            self.cfg.cam, prob, self._ba_mesh, iters=iters
+        )
+
+    def _local_ba(self, m: MapState, center_kf: int) -> MapState:
+        """Local BA around the newest keyframe. Single-device: one jitted
+        program (steps.local_bundle_adjustment). With a distributed mesh:
+        the same covisibility-window problem assembled host-side and solved
+        point-sharded, then the same chi2 outlier detach
+        (Optimizer.cc:705-720)."""
+        cfg = self.cfg
+        if self._ba_mesh is None:
+            return steps.local_bundle_adjustment(
+                cfg.cam, m, jnp.int32(center_kf), self.inv_sigma2,
+                window=cfg.local_ba_window, n_levels=cfg.orb.n_levels,
+            )
+        K, N = m.kf_obs_pt.shape
+        kfi, pti, uvr, has, fixed_kf, fixed_pt = steps.build_local_ba_problem(
+            m, jnp.int32(center_kf), cfg.local_ba_window, 0
+        )
+        inv_s2 = self.inv_sigma2[
+            jnp.clip(m.kf_kp_level.reshape(-1), 0, len(self.inv_sigma2) - 1)
+        ]
+        prob = BAProblem(
+            R=m.kf_R, t=m.kf_t, X=m.pt_xyz,
+            kf=kfi, pt=pti, uvr=uvr, inv_sigma2=inv_s2,
+            valid=has & m.pt_valid[pti],
+            fixed_kf=fixed_kf, fixed_pt=fixed_pt,
+        )
+        R, t, X, chi2 = self._run_ba(prob, iters=8)
+        stereo_e = uvr[:, 2] >= 0
+        th = jnp.where(stereo_e, 7.815, 5.991)
+        bad = prob.valid & (chi2 > th)
+        obs = jnp.where(bad, -1, m.kf_obs_pt.reshape(-1))
+        return m._replace(kf_R=R, kf_t=t, pt_xyz=X, kf_obs_pt=obs.reshape(K, N))
 
     # ------------------------------------------- global BA (async, abortable)
 
@@ -976,11 +1040,9 @@ class Tracker:
         protect[[int(k) for k in recent if fids[k] >= 0]] = True
         protect[self._best_covisible(m, ki_int, cfg.local_ba_window)] = True
         m, culled = steps.cull_keyframes(m, jnp.int32(ki_int), jnp.asarray(protect))
-        # Local BA around the new keyframe.
-        m = steps.local_bundle_adjustment(
-            cfg.cam, m, jnp.int32(ki_int), self.inv_sigma2,
-            window=cfg.local_ba_window, n_levels=cfg.orb.n_levels,
-        )
+        # Local BA around the new keyframe (distributed when a mesh is
+        # configured; see _local_ba).
+        m = self._local_ba(m, ki_int)
         m = update_point_normals(m, self.scale_factors)
         # Loop closing on the fresh keyframe (the reference's LoopClosing
         # thread hand-off, LocalMapping.cc:87).
