@@ -42,6 +42,7 @@ _FAST_MODULES = {
     "test_place_posegraph",
     "test_dist_ba",
     "test_orbvoc_convert",
+    "test_map_scale",
 }
 
 

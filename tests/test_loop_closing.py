@@ -203,7 +203,7 @@ class TestLoopClosing:
         for k in range(len(gt)):
             m, _ = lc.on_keyframe(m, CAM, k, ba_fn=None)
         assert 2 in lc._bow
-        old_bow2 = np.asarray(lc._bow[2]).copy()
+        old_bow2 = np.asarray(lc._bow[2].densify(lc.voc.n_words)).copy()
         seq_before = int(lc._slot_seq[2])
 
         # Recycle slot 2: new occupant (new frame id, new descriptors).
@@ -219,9 +219,10 @@ class TestLoopClosing:
         assert int(lc._slot_seq[2]) > seq_before
         assert int(lc._slot_seq[2]) == lc._seq
         # BoW cache and database row reflect the new occupant.
-        new_bow2 = np.asarray(lc._bow[2])
+        new_bow2 = np.asarray(lc._bow[2].densify(lc.voc.n_words))
         assert not np.allclose(new_bow2, old_bow2)
-        assert np.allclose(np.asarray(lc.db.bow[2]), new_bow2)
+        assert np.allclose(np.asarray(lc.db.words[2]), np.asarray(lc._bow[2].words))
+        assert np.allclose(np.asarray(lc.db.weight[2]), np.asarray(lc._bow[2].weight))
 
         # Culling a KF erases its database row and BoW cache on reconcile.
         m2 = m._replace(kf_valid=m.kf_valid.at[3].set(False))

@@ -1,0 +1,149 @@
+"""KITTI-00-scale capacity check (VERDICT r1 item 2 "done" criterion, map
+side): a 700-keyframe / 150k-point map — far beyond the old 150/15k
+defaults — through every per-frame map op, with NO force-eviction needed
+(capacity holds the whole run) and per-frame matching cost fixed at the
+local-subset size, independent of P."""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuslam.geometry.camera import PinholeCamera
+from tpuslam.mapstate.core import (
+    FrameFeatures,
+    covisibility_weights,
+    make_empty_map,
+    shared_point_counts,
+)
+from tpuslam.pipeline.steps import (
+    build_local_ba_problem,
+    local_keyframe_mask,
+    track_local_map,
+)
+
+CAM = PinholeCamera(fx=300.0, fy=300.0, cx=160.0, cy=120.0, width=320, height=240)
+
+
+def _big_map(rng, K=700, N=200, P=150_000):
+    """A corridor of keyframes, each observing a sliding window of points
+    (adjacent KFs share most of their points -> realistic covisibility).
+    Cameras march along +x (centers C = -t at 0.02·k); points are sorted by
+    x so keyframe k's window sits in front of camera k."""
+    m = make_empty_map(K, N, P)
+    span = 0.02 * (K - 1)
+    # Live points: overlapping windows of N with stride N/2 (adjacent KFs
+    # share half their window); x tracks the camera so window k projects
+    # in front of camera k. Remaining capacity stays unobserved/invalid.
+    stride = N // 2
+    P_live = K * stride + N
+    assert P_live <= P
+    x = span * (np.arange(P) % P_live) / max(P_live - 1, 1)
+    X = np.stack(
+        [
+            x + rng.uniform(-0.5, 0.5, P),
+            rng.uniform(-2, 2, P),
+            rng.uniform(4, 10, P),
+        ],
+        -1,
+    ).astype(np.float32)
+    obs = np.full((K, N), -1, np.int32)
+    for k in range(K):
+        obs[k] = k * stride + np.arange(N)
+    t = np.zeros((K, 3), np.float32)
+    t[:, 0] = -0.02 * np.arange(K)
+    # Scale-invariance range + viewing normal consistent with level-0
+    # observations from the LAST corridor camera (what MapPoint::
+    # UpdateNormalAndDepth would set): predict_scale lands on octave 0-1 so
+    # the level gates admit level-0 keypoints, and view_cos ~ 1.
+    C_last = -t[K - 1]
+    vec = X - C_last
+    d0 = np.linalg.norm(vec, axis=-1)
+    normal = (vec / d0[:, None]).astype(np.float32)
+    return m._replace(
+        kf_valid=jnp.ones(K, bool),
+        kf_kp_valid=jnp.ones((K, N), bool),
+        kf_obs_pt=jnp.asarray(obs),
+        kf_frame_id=jnp.arange(K, dtype=jnp.int32),
+        kf_t=jnp.asarray(t),
+        pt_xyz=jnp.asarray(X),
+        pt_valid=jnp.asarray(np.arange(P) < P_live),
+        pt_normal=jnp.asarray(normal),
+        pt_min_dist=jnp.asarray(0.2 * d0),
+        pt_max_dist=jnp.asarray(1.05 * d0),
+        pt_desc=jnp.asarray(rng.integers(0, 2**32, (P, 8), dtype=np.uint32)),
+        n_kf=jnp.asarray(K),
+        n_pt=jnp.asarray(P),
+    )
+
+
+class TestLargeMapOps:
+    def test_per_frame_ops_at_kitti_scale(self, rng):
+        m = _big_map(rng)
+        K, N = m.kf_obs_pt.shape
+        P = m.capacity_pt
+
+        # Frame features: re-observations of the newest KF's points.
+        last = K - 1
+        ids = np.asarray(m.kf_obs_pt[last])
+        X = np.asarray(m.pt_xyz)[ids]
+        Rk = np.asarray(m.kf_R[last])
+        tk = np.asarray(m.kf_t[last])
+        Xc = X @ Rk.T + tk
+        uv = 300.0 * Xc[:, :2] / Xc[:, 2:3] + np.array([160.0, 120.0], np.float32)
+        inside = (
+            (uv[:, 0] >= 0) & (uv[:, 0] < 320) & (uv[:, 1] >= 0) & (uv[:, 1] < 240)
+        )
+        feats = FrameFeatures(
+            xy=jnp.asarray(uv.astype(np.float32)),
+            level=jnp.zeros(N, jnp.int32),
+            angle=jnp.zeros(N),
+            desc=m.pt_desc[jnp.asarray(ids)],
+            valid=jnp.asarray(inside),
+            u_right=jnp.full(N, -1.0),
+            depth=jnp.zeros(N),
+        )
+        obs0 = jnp.where(jnp.asarray(inside), jnp.asarray(ids), -1)
+
+        # Local keyframe mask from the frame's matches: a bounded local set.
+        mask = local_keyframe_mask(m, obs0, max_kfs=80)
+        n_local = int(jnp.sum(mask))
+        assert 0 < n_local <= 90
+
+        # Subset TrackLocalMap: candidate block of 16384, not P.
+        R, t, obs, n_inl, vis, found = track_local_map(
+            CAM, m, m.kf_R[last], m.kf_t[last], feats,
+            jnp.full(N, -1, jnp.int32), jnp.ones(8),
+            local_kf_mask=mask, max_local_pts=16384,
+        )
+        jax.block_until_ready(obs)
+        assert np.all(np.isfinite(np.asarray(t)))
+        assert int(n_inl) > 50
+        # Matches land on local-KF points only.
+        local_pts = set()
+        for k in np.nonzero(np.asarray(mask))[0]:
+            row = np.asarray(m.kf_obs_pt[k])
+            local_pts.update(row[row >= 0].tolist())
+        got = np.asarray(obs)
+        for p in got[got >= 0]:
+            assert int(p) in local_pts
+
+        # Blocked covisibility at K=700, P=150k without a (K, P) buffer.
+        w = covisibility_weights(m)
+        jax.block_until_ready(w)
+        w_np = np.asarray(w)
+        assert w_np.shape == (K, K)
+        # Adjacent corridor KFs share about half their points.
+        assert w_np[300, 301] > 0.3 * N
+        # One covisibility row agrees with the full matrix + self count.
+        row = np.asarray(shared_point_counts(m, jnp.int32(300)))
+        np.testing.assert_allclose(row[299], w_np[300, 299], atol=1e-4)
+        np.testing.assert_allclose(row[301], w_np[300, 301], atol=1e-4)
+
+        # Local-BA active set stays a covisibility window, boundary fixed.
+        kfi, pti, uvr, has, fixed_kf, fixed_pt = build_local_ba_problem(
+            m, jnp.int32(last), 8, 0
+        )
+        n_free = int(jnp.sum(~fixed_kf & m.kf_valid))
+        assert 0 < n_free < 100, n_free

@@ -235,15 +235,58 @@ def observation_incidence(m: MapState) -> jnp.ndarray:
     return jnp.minimum(inc[:, :P], 1.0)
 
 
-def covisibility_weights(m: MapState) -> jnp.ndarray:
+def covisibility_weights(m: MapState, block: int = 16384) -> jnp.ndarray:
     """(K, K) covisibility weights: shared-point counts between keyframes
     (KeyFrame::UpdateConnections semantics, threshold applied by callers).
 
-    One matmul over the incidence matrix — the MXU-native form of the
-    reference's per-KF hash-map counting (KeyFrame.cc:289-379)."""
-    inc = observation_incidence(m)
-    w = inc @ inc.T
+    Matmuls over the incidence matrix — the MXU-native form of the
+    reference's per-KF hash-map counting (KeyFrame.cc:289-379). Above
+    `block` points the (K, P) incidence is never materialized: point
+    blocks are scattered and reduced one at a time under lax.scan, so
+    memory stays O(K·block) at KITTI-00 scale (1.4k KFs, 150k+ points)
+    while the FLOPs ride the MXU unchanged."""
+    K, N = m.kf_obs_pt.shape
+    P = m.capacity_pt
+    if P <= block:
+        inc = observation_incidence(m)
+        w = inc @ inc.T
+        return w - jnp.diag(jnp.diag(w))
+
+    has = (m.kf_obs_pt >= 0) & m.kf_kp_valid & m.kf_valid[:, None]
+    pt = jnp.where(has, m.kf_obs_pt, P)
+    has = has & jnp.pad(m.pt_valid, (0, 1))[pt]
+    nb = -(-P // block)
+    rows = jnp.arange(K)[:, None]
+
+    def body(acc, off):
+        local = pt - off
+        in_blk = has & (local >= 0) & (local < block)
+        li = jnp.where(in_blk, local, block)
+        inc = jnp.zeros((K, block + 1)).at[rows, li].add(
+            in_blk.astype(jnp.float32)
+        )[:, :block]
+        inc = jnp.minimum(inc, 1.0)
+        return acc + inc @ inc.T, None
+
+    w, _ = jax.lax.scan(
+        body, jnp.zeros((K, K)), jnp.arange(nb, dtype=jnp.int32) * block
+    )
     return w - jnp.diag(jnp.diag(w))
+
+
+def shared_point_counts(m: MapState, anchor) -> jnp.ndarray:
+    """(K,) shared-valid-point counts of every keyframe with `anchor` —
+    one covisibility ROW without forming the (K, P) incidence (a (P,)
+    scatter + a (K, N) gather): the scalable form of
+    `observation_incidence(m) @ observation_incidence(m)[anchor]`."""
+    P = m.capacity_pt
+    has = (m.kf_obs_pt >= 0) & m.kf_kp_valid & m.kf_valid[:, None]
+    pt = jnp.where(has, m.kf_obs_pt, P)
+    has = has & jnp.pad(m.pt_valid, (0, 1))[pt]
+    mark = jnp.zeros((P + 1,), bool).at[jnp.where(has[anchor], pt[anchor], P)].set(
+        True
+    ).at[P].set(False)
+    return jnp.sum(has & mark[pt], axis=1).astype(jnp.float32)
 
 
 def compute_point_descriptors(m: MapState, pt_mask: jnp.ndarray, max_obs: int = 16) -> MapState:

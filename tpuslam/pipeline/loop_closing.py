@@ -39,8 +39,16 @@ from tpuslam.matching.search import (
     search_by_projection_points,
 )
 from tpuslam.optim.pose_graph import Sim3Edges, make_relative, optimize_pose_graph
-from tpuslam.place.database import KeyFrameDatabase, l1_score
-from tpuslam.place.vocabulary import Vocabulary, bow_vector, train_vocabulary
+from tpuslam.place.database import (
+    SparseBow,
+    SparseKeyFrameDatabase,
+    l1_score_sparse,
+)
+from tpuslam.place.vocabulary import (
+    Vocabulary,
+    sparse_bow_vector,
+    train_vocabulary,
+)
 from tpuslam.sfm.sim3solver import sim3_ransac
 
 COVIS_CONSISTENCY_TH = 3   # LoopClosing.cc:43
@@ -62,7 +70,9 @@ class LoopCloser:
         self.voc = voc
         self.voc_k = voc_k
         self.voc_levels = voc_levels
-        self.db: Optional[KeyFrameDatabase] = None
+        # Sparse layout (per-KF word lists) so a DBoW2-scale vocabulary
+        # (k=10, L=6 ≈ 1M words) fits: O(K·L) memory, W-independent.
+        self.db: Optional[SparseKeyFrameDatabase] = None
         self.max_keyframes = max_keyframes
         self.fix_scale = fix_scale
         self.min_sim3_inliers = min_sim3_inliers
@@ -141,9 +151,11 @@ class LoopCloser:
             self._slot_seq[s] = -1
         self._slot_fid = fid
 
-    def _kf_bow(self, m: MapState, k: int):
+    def _kf_bow(self, m: MapState, k: int) -> SparseBow:
         if k not in self._bow:
-            self._bow[k] = bow_vector(self.voc, m.kf_kp_desc[k], m.kf_kp_valid[k])
+            self._bow[k] = sparse_bow_vector(
+                self.voc, m.kf_kp_desc[k], m.kf_kp_valid[k]
+            )
         return self._bow[k]
 
     # -------------------------------------------------------------- detection
@@ -151,7 +163,9 @@ class LoopCloser:
     def _detect(self, m: MapState, kf: int, covis: jnp.ndarray):
         """Returns a loop-candidate KF index or None."""
         if self.db is None:
-            self.db = KeyFrameDatabase(self.voc.n_words, self.max_keyframes)
+            self.db = SparseKeyFrameDatabase(
+                self.voc.n_words, self.max_keyframes, m.kf_kp_desc.shape[1]
+            )
         v = self._kf_bow(m, kf)
 
         self._seq += 1
@@ -164,10 +178,13 @@ class LoopCloser:
         covis_np = np.asarray(covis[kf])
         neighbors = np.nonzero(covis_np >= 15)[0]
         # minScore: lowest BoW similarity among covisible KFs (:124-138).
+        v_dense = v.densify(self.voc.n_words)
         min_score = 1.0
         for nb in neighbors:
             if nb in self._bow:
-                min_score = min(min_score, float(l1_score(v, self._bow[nb])))
+                min_score = min(
+                    min_score, float(l1_score_sparse(self._bow[nb], v_dense))
+                )
 
         exclude = np.zeros(self.max_keyframes, bool)
         exclude[kf] = True

@@ -17,7 +17,11 @@ import jax.numpy as jnp
 from tpuslam.geometry.camera import PinholeCamera, project
 from tpuslam.geometry.se3 import se3_apply, se3_compose, se3_inverse
 from tpuslam.geometry.triangulation import triangulate_two_view
-from tpuslam.mapstate.core import FrameFeatures, MapState, observation_incidence
+from tpuslam.mapstate.core import (
+    FrameFeatures,
+    MapState,
+    shared_point_counts,
+)
 from tpuslam.matching.hamming import hamming_matrix
 from tpuslam.matching.search import (
     TH_HIGH,
@@ -292,7 +296,10 @@ def _optimize_frame_pose(cam, m, cur, obs_pt, R0, t0, inv_sigma2_table):
     return R, t, obs_pt, n_inl
 
 
-@partial(jax.jit, static_argnames=("cam", "scale_factor", "n_levels", "th"))
+@partial(
+    jax.jit,
+    static_argnames=("cam", "scale_factor", "n_levels", "th", "max_local_pts"),
+)
 def track_local_map(
     cam: PinholeCamera,
     m: MapState,
@@ -304,40 +311,76 @@ def track_local_map(
     scale_factor: float = 1.2,
     n_levels: int = 8,
     th: float = 1.0,
+    local_kf_mask: jnp.ndarray | None = None,
+    max_local_pts: int = 0,
 ):
-    """TrackLocalMap (/root/reference/src/Tracking.cc:982): project ALL map
-    points through the frustum filter (Frame::isInFrustum, Frame.cc:342),
-    search unmatched ones into the current frame, re-optimize the pose.
+    """TrackLocalMap (/root/reference/src/Tracking.cc:982): project the
+    local map points through the frustum filter (Frame::isInFrustum,
+    Frame.cc:342), search unmatched ones into the current frame,
+    re-optimize the pose.
 
-    The reference restricts candidates to the covisibility-local map (<= 80
-    KFs); with the SoA layout the frustum+scale gates over the whole map are
-    one vectorized pass, so the local-map restriction is unnecessary at these
-    capacities (documented deviation; same accepted matches).
+    Two candidate regimes:
 
-    Returns (R, t, obs_pt, n_inliers, visible_mask, found_mask).
+    - default (small maps): ALL valid points pass the vectorized
+      frustum+scale gates in one pass — the reference's covisibility-local
+      restriction (<= 80 KFs, Tracking.cc:1283-1337) is unnecessary at
+      these capacities (documented deviation; same accepted matches).
+    - `local_kf_mask` + `max_local_pts` (large maps): candidates are the
+      up-to-max_local_pts valid points observed by the masked keyframes
+      (the reference's mvpLocalMapPoints from mvpLocalKeyFrames,
+      Tracking.cc:1257-1280), gathered into a fixed-size block so the
+      matching cost is O(max_local_pts · N) instead of O(P · N) — the
+      form that keeps per-frame cost flat as the map grows to KITTI-00
+      scale.
+
+    Returns (R, t, obs_pt, n_inliers, visible_mask, found_mask); the masks
+    are global (P,) for the found/visible bookkeeping.
     """
     P = m.capacity_pt
-    p_cam = se3_apply(R, t, m.pt_xyz)
+    subset = local_kf_mask is not None and 0 < max_local_pts < P
+    if subset:
+        L = max_local_pts
+        has = (
+            (m.kf_obs_pt >= 0)
+            & m.kf_kp_valid
+            & m.kf_valid[:, None]
+            & local_kf_mask[:, None]
+        )
+        ptl = jnp.where(has, m.kf_obs_pt, P)
+        mark = (
+            jnp.zeros((P + 1,), bool).at[ptl.reshape(-1)].set(True)[:P]
+            & m.pt_valid
+        )
+        sel = jnp.nonzero(mark, size=L, fill_value=P)[0].astype(jnp.int32)
+        live = sel < P
+        ids = jnp.minimum(sel, P - 1)
+    else:
+        ids = jnp.arange(P, dtype=jnp.int32)
+        live = m.pt_valid
+
+    xyz = m.pt_xyz[ids]
+    p_cam = se3_apply(R, t, xyz)
     uv = project(cam, p_cam)
     z = p_cam[:, 2]
     in_img = (
         (uv[:, 0] >= 0) & (uv[:, 0] < cam.width) & (uv[:, 1] >= 0) & (uv[:, 1] < cam.height)
     )
     C = -(R.T @ t)
-    vec = m.pt_xyz - C
+    vec = xyz - C
     dist = jnp.linalg.norm(vec, axis=-1)
-    in_range = (dist >= m.pt_min_dist) & (dist <= m.pt_max_dist)
-    view_cos = jnp.sum(vec * m.pt_normal, axis=-1) / jnp.maximum(
-        dist * jnp.linalg.norm(m.pt_normal, axis=-1), 1e-9
+    in_range = (dist >= m.pt_min_dist[ids]) & (dist <= m.pt_max_dist[ids])
+    normal = m.pt_normal[ids]
+    view_cos = jnp.sum(vec * normal, axis=-1) / jnp.maximum(
+        dist * jnp.linalg.norm(normal, axis=-1), 1e-9
     )
     good_view = view_cos > 0.5  # isInFrustum viewingCosLimit (Tracking.cc:1219)
-    visible = m.pt_valid & (z > 0.05) & in_img & in_range & good_view
+    visible = live & (z > 0.05) & in_img & in_range & good_view
 
     # Exclude points already matched this frame.
     already = jnp.zeros((P,), bool).at[jnp.maximum(obs_pt, 0)].set(obs_pt >= 0)
-    cand = visible & ~already
+    cand = visible & ~already[ids]
 
-    pred_lvl = predict_scale(dist, m.pt_max_dist, scale_factor, n_levels)
+    pred_lvl = predict_scale(dist, m.pt_max_dist[ids], scale_factor, n_levels)
     radius = jnp.where(view_cos > 0.998, 2.5, 4.0) * th * scale_factor ** pred_lvl.astype(
         jnp.float32
     )
@@ -346,7 +389,7 @@ def track_local_map(
     kp_taken = obs_pt >= 0
     idx, dmin, ok = search_by_projection_points(
         uv,
-        m.pt_desc,
+        m.pt_desc[ids],
         cand,
         radius,
         jnp.maximum(pred_lvl - 1, 0),
@@ -361,16 +404,54 @@ def track_local_map(
         ratio_same_level_only=True,
     )
     obs_pt = obs_pt.at[idx].set(
-        jnp.where(ok & (obs_pt[idx] < 0), jnp.arange(P, dtype=jnp.int32), obs_pt[idx])
+        jnp.where(ok & (obs_pt[idx] < 0), ids, obs_pt[idx])
     )
 
     R, t, obs_pt, n_inl = _optimize_frame_pose(
         cam, m, cur, obs_pt, R, t, inv_sigma2_table
     )
 
-    # found/visible bookkeeping (MapPoint::IncreaseVisible/Found).
+    # found/visible bookkeeping (MapPoint::IncreaseVisible/Found), scattered
+    # back to global point ids.
+    visible_g = (
+        jnp.zeros((P + 1,), bool)
+        .at[jnp.where(visible, ids, P)]
+        .set(True)[:P]
+    )
     found = jnp.zeros((P,), bool).at[jnp.maximum(obs_pt, 0)].set(obs_pt >= 0)
-    return R, t, obs_pt, n_inl, visible, found
+    return R, t, obs_pt, n_inl, visible_g, found
+
+
+@partial(jax.jit, static_argnames=("max_kfs",))
+def local_keyframe_mask(
+    m: MapState, obs_pt: jnp.ndarray, max_kfs: int = 80
+) -> jnp.ndarray:
+    """UpdateLocalKeyFrames (/root/reference/src/Tracking.cc:1283-1337):
+    keyframes observing the current frame's matched points, capped at the
+    `max_kfs` best voters (the reference's 80-KF cap). The reference also
+    adds each voter's covisibility neighbors / spanning-tree relatives;
+    here the vote cap plus the best voter's covisible set (via
+    shared_point_counts) covers that intent in two vectorized passes
+    (documented deviation).
+
+    Returns a (K,) bool mask over keyframe slots.
+    """
+    K = m.kf_obs_pt.shape[0]
+    P = m.capacity_pt
+    matched = jnp.zeros((P + 1,), bool).at[
+        jnp.where(obs_pt >= 0, obs_pt, P)
+    ].set(True).at[P].set(False)
+    has = (m.kf_obs_pt >= 0) & m.kf_kp_valid & m.kf_valid[:, None]
+    pt = jnp.where(has, m.kf_obs_pt, P)
+    votes = jnp.sum(has & matched[pt], axis=1)  # keyframeCounter
+    top = jnp.argsort(-votes)[:max_kfs]
+    mask = jnp.zeros((K,), bool).at[top].set(votes[top] > 0)
+    # Neighbors of the best voter (GetBestCovisibilityKeyFrames(10) spirit).
+    best = jnp.argmax(votes)
+    shared = shared_point_counts(m, best)
+    nb = jnp.argsort(-shared)[:10]
+    mask = mask.at[nb].set(mask[nb] | (shared[nb] >= 15.0))
+    return mask & m.kf_valid
 
 
 @partial(jax.jit, static_argnames=("cam", "scale_factor", "n_levels"))
@@ -539,8 +620,7 @@ def build_local_ba_problem(
     eligible = m.kf_valid & (fid <= fid[center_kf])
     newer = eligible[None, :] & (fid[None, :] > fid[:, None])
     recency = eligible & (jnp.sum(newer, axis=1) < window)
-    inc = observation_incidence(m)  # (K, P)
-    shared = inc @ inc[center_kf]   # shared-point counts with the center
+    shared = shared_point_counts(m, center_kf)  # row of the covis matrix
     covis = m.kf_valid & (shared >= 15.0) & (idx != center_kf)
     active = jnp.where(
         jnp.any(covis), covis | (m.kf_valid & (idx == center_kf)), recency
@@ -807,16 +887,12 @@ def cull_keyframes(m: MapState, current_kf: jnp.ndarray, protect: jnp.ndarray):
     # mTcp walk, System.cc:377-381). Chains are acyclic: parents are valid
     # at their child's cull time and never point at already-culled KFs.
     survive = m.kf_valid & ~cull
-    inc = jnp.minimum(
-        jnp.zeros((K, P + 1))
-        .at[
-            jnp.arange(K)[:, None],
-            jnp.where(has, m.kf_obs_pt, P),
-        ]
-        .add(1.0)[:, :P],
-        1.0,
-    )
-    shared = inc @ inc.T  # (K, K) covisibility counts
+    from tpuslam.mapstate.core import covisibility_weights
+
+    # (K, K) covisibility counts without materializing the (K, P)
+    # incidence (blocked above 16k points); valid-point gated like
+    # KeyFrame::UpdateConnections after SetBadFlag detaches.
+    shared = covisibility_weights(m)
     shared = jnp.where(survive[None, :], shared, -1.0)
     shared = shared - jnp.diag(jnp.diag(shared))
     # Fallback when no covisible survivor: the nearest-index surviving KF.

@@ -50,8 +50,14 @@ class TrackingState(enum.Enum):
 class TrackerConfig:
     cam: PinholeCamera
     orb: ORBConfig = ORBConfig()
-    max_keyframes: int = 150
-    max_points: int = 15000
+    # Map capacity. Defaults hold a full KITTI-00-scale session (the
+    # reference grows ~1.4k KFs there) without force-eviction; the
+    # capacity-scaling machinery (blocked covisibility, local-subset
+    # TrackLocalMap, CG pose graph) keeps per-frame cost flat at this
+    # size. Small demos/tests should pass smaller capacities for faster
+    # compiles.
+    max_keyframes: int = 1024
+    max_points: int = 200_000
     # Keyframe cadence (Tracking::NeedNewKeyFrame, Tracking.cc:1029):
     # mMaxFrames = fps; ref-ratio 0.9 mono / 0.75 stereo+RGB-D
     # (Tracking.cc:1073-1079).
@@ -78,6 +84,12 @@ class TrackerConfig:
     # tracker's chip; set mapping_process_platform for a pod's mapping host.
     mapping_process: bool = False
     mapping_process_platform: str = "cpu"
+    # TrackLocalMap candidate cap: above this many map points, per-frame
+    # matching is restricted to the covisibility-local point set (the
+    # reference's 80-KF local map, Tracking.cc:1283-1337) gathered into a
+    # fixed-size block, keeping per-frame cost flat as the map grows.
+    # 0 = auto (subset path kicks in when max_points > 16384).
+    local_map_max_pts: int = 0
     # Distributed bundle adjustment (SURVEY.md §2.4 P7): when >= 2, global
     # BA and local BA run point-sharded over a 1-D mesh of the first
     # `dist_ba_devices` devices (point blocks + their edges per device,
@@ -493,6 +505,26 @@ class Tracker:
 
     # ------------------------------------------------------------- tracking
 
+    def _track_local_map(self, m: MapState, R, t, feats, obs):
+        """TrackLocalMap dispatch: whole-map candidates for small maps, the
+        covisibility-local subset (local_keyframe_mask + fixed-size point
+        gather) when the map is large (Tracking.cc:982,1283-1337)."""
+        cfg = self.cfg
+        cap = cfg.local_map_max_pts or (
+            16384 if m.capacity_pt > 16384 else 0
+        )
+        kwargs = {}
+        if cap and cap < m.capacity_pt:
+            kwargs = dict(
+                local_kf_mask=steps.local_keyframe_mask(m, obs),
+                max_local_pts=cap,
+            )
+        return steps.track_local_map(
+            cfg.cam, m, R, t, feats, obs, self.inv_sigma2,
+            scale_factor=cfg.orb.scale_factor, n_levels=cfg.orb.n_levels,
+            **kwargs,
+        )
+
     def _predict_pose(self):
         if self._velocity is not None:
             Rv, tv = self._velocity
@@ -505,7 +537,7 @@ class Tracker:
         not fresh out of relocalization; TrackReferenceKeyFrame otherwise,
         and as the fallback when the motion model fails.
 
-        Returns (ok, R, t, obs)."""
+        Returns (ok, R, t, obs, used_motion_model)."""
         cfg = self.cfg
         use_ref_only = (
             self._velocity is None or frame_id < self._last_reloc_frame_id + 2
@@ -531,14 +563,19 @@ class Tracker:
             # window matches can "converge" with 10+ inliers at a wildly
             # wrong pose, and only the match-count gate catches it.
             if int(n_matches) >= 20 and int(n_inl) >= cfg.min_inliers_motion:
-                return True, R, t, obs
-        # TrackReferenceKeyFrame (Tracking.cc:809): BoW-style descriptor
-        # match against the reference keyframe from the last frame's pose.
+                return True, R, t, obs, True
+        ok, R, t, obs = self._ref_kf_estimate(feats)
+        return ok, R, t, obs, False
+
+    def _ref_kf_estimate(self, feats: FrameFeatures):
+        """TrackReferenceKeyFrame (Tracking.cc:809): BoW-style descriptor
+        match against the reference keyframe from the last frame's pose.
+        Returns (ok, R, t, obs)."""
         ref = self._last_kf_idx
         if ref < 0:
             return False, None, None, None
         R, t, obs, n_matches, n_inl = steps.track_reference_keyframe(
-            cfg.cam, self.map, jnp.int32(ref), feats,
+            self.cfg.cam, self.map, jnp.int32(ref), feats,
             self._last_R, self._last_t, self.inv_sigma2,
         )
         # >= 15 matches to attempt, >= 10 map inliers to accept
@@ -553,13 +590,12 @@ class Tracker:
         self._poll_mapping()
         if self.localization_mode and self._depth_mode:
             return self._track_frame_localization(feats, frame_id)
-        ok, R, t, obs = self._initial_pose_estimate(feats, frame_id)
+        ok, R, t, obs, used_mm = self._initial_pose_estimate(feats, frame_id)
         if not ok:
             return False
 
-        R, t, obs, n_inl, visible, found = steps.track_local_map(
-            cfg.cam, self.map, R, t, feats, obs, self.inv_sigma2,
-            scale_factor=cfg.orb.scale_factor, n_levels=cfg.orb.n_levels,
+        R, t, obs, n_inl, visible, found = self._track_local_map(
+            self.map, R, t, feats, obs
         )
         n_tracked = int(n_inl)
         # Stricter acceptance right after relocalization (Tracking.cc:1020:
@@ -569,6 +605,18 @@ class Tracker:
             if frame_id < self._last_reloc_frame_id + cfg.kf_max_frames
             else cfg.min_inliers_ok
         )
+        if n_tracked < thr and used_mm:
+            # A corrupted velocity can clear the motion-model gates on a few
+            # aliased matches yet land at a wildly wrong pose that
+            # TrackLocalMap rejects; retry the frame through the reference-
+            # keyframe path before declaring LOST (robustness addition over
+            # the reference, which goes LOST here — Tracking.cc:462).
+            ok, R2, t2, obs2 = self._ref_kf_estimate(feats)
+            if ok:
+                R, t, obs, n_inl, visible, found = self._track_local_map(
+                    self.map, R2, t2, feats, obs2
+                )
+                n_tracked = int(n_inl)
         if n_tracked < thr:
             return False
 
@@ -729,9 +777,8 @@ class Tracker:
                 # skipped while mbVO). VO matches don't join this pose
                 # refinement (they are temporal, not in the map).
                 obs_map = jnp.where(cur_tag >= 0, cur_tag, -1)
-                R, t, obs_map, n_inl, visible, found = steps.track_local_map(
-                    cfg.cam, m, R, t, feats, obs_map, self.inv_sigma2,
-                    scale_factor=cfg.orb.scale_factor, n_levels=cfg.orb.n_levels,
+                R, t, obs_map, n_inl, visible, found = self._track_local_map(
+                    m, R, t, feats, obs_map
                 )
                 if int(n_inl) < cfg.min_inliers_ok:
                     return False
@@ -827,7 +874,7 @@ class Tracker:
         can be recycled. Eviction picks the valid KF least covisible with
         the current reference KF (tie: oldest), protecting the origin pair,
         the current KF, and the recent window."""
-        from tpuslam.mapstate.core import observation_incidence
+        from tpuslam.mapstate.core import shared_point_counts
 
         m = self.map
         valid = np.asarray(m.kf_valid)
@@ -840,12 +887,11 @@ class Tracker:
         cands = [int(k) for k in np.nonzero(valid)[0] if int(k) not in protect]
         if not cands:
             return False
-        inc = np.asarray(observation_incidence(m))
         anchor = self._last_kf_idx if self._last_kf_idx >= 0 else int(np.argmax(fids))
-        shared = inc @ inc[anchor]
+        shared = np.asarray(shared_point_counts(m, anchor))
         slot = min(cands, key=lambda k: (float(shared[k]), int(fid[k])))
         # Parent: most covisible survivor; fall back to the newest survivor.
-        s_row = inc @ inc[slot]
+        s_row = np.asarray(shared_point_counts(m, slot))
         s_row[slot] = -1.0
         s_row[~valid] = -1.0
         p = int(np.argmax(s_row))
@@ -962,10 +1008,9 @@ class Tracker:
         keyframe ki_int (KeyFrame::GetBestCovisibilityKeyFrames semantics,
         /root/reference/src/KeyFrame.cc:226). Falls back to the n most
         recent keyframes when no covisibility edges exist yet."""
-        from tpuslam.mapstate.core import observation_incidence
+        from tpuslam.mapstate.core import shared_point_counts
 
-        inc = observation_incidence(m)
-        shared = np.array(inc @ inc[ki_int])  # np.array: writable copy
+        shared = np.array(shared_point_counts(m, ki_int))  # writable copy
         shared[ki_int] = 0.0
         shared[~np.asarray(m.kf_valid)] = 0.0
         order = np.argsort(-shared)[:n]
@@ -1068,9 +1113,9 @@ class Tracker:
         if lc is None or lc.voc is None or lc.db is None:
             return None
         from tpuslam.mapstate.core import covisibility_weights
-        from tpuslam.place.vocabulary import bow_vector
+        from tpuslam.place.vocabulary import sparse_bow_vector
 
-        v = bow_vector(lc.voc, feats.desc, feats.valid)
+        v = sparse_bow_vector(lc.voc, feats.desc, feats.valid)
         covis = covisibility_weights(self.map)
         idx, ok = lc.db.query(
             v,
@@ -1186,9 +1231,8 @@ class Tracker:
         n_good, R, t, obs = best
         # Local-map polish (the Track() continuation after a successful
         # relocalization, Tracking.cc:423).
-        R, t, obs, n_inl, visible, found = steps.track_local_map(
-            cfg.cam, m, R, t, feats, obs, self.inv_sigma2,
-            scale_factor=cfg.orb.scale_factor, n_levels=cfg.orb.n_levels,
+        R, t, obs, n_inl, visible, found = self._track_local_map(
+            m, R, t, feats, obs
         )
         if int(n_inl) < cfg.min_inliers_ok:
             return False

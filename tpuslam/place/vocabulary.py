@@ -182,3 +182,31 @@ def bow_vector(voc: Vocabulary, desc: jnp.ndarray, valid: jnp.ndarray) -> jnp.nd
     v = jnp.zeros((W + 1,)).at[safe].add(jnp.where(valid, 1.0, 0.0))[:W]
     v = v * voc.word_weight
     return v / jnp.maximum(jnp.sum(jnp.abs(v)), 1e-9)
+
+
+def sparse_bow_vector(voc: Vocabulary, desc: jnp.ndarray, valid: jnp.ndarray):
+    """Sparse L1-normalized TF-IDF BoW: (words (N,), weight (N,)) with -1/0
+    padding, N = keypoint capacity.
+
+    A frame touches at most N distinct words, so the sparse form is exact —
+    this is what lets a DBoW2-scale vocabulary (k=10, L=6 ≈ 1M words,
+    TemplatedVocabulary.h:1338) fit: per-KF cost is O(N), independent of W.
+    Distinct words are compacted by sort + boundary detection (no dynamic
+    shapes), TF accumulated by segment scatter-add.
+    """
+    from tpuslam.place.database import SparseBow
+
+    N = desc.shape[0]
+    words = transform_words(voc, desc, valid)
+    BIG = jnp.int32(1 << 30)
+    w = jnp.where(valid & (words >= 0), words, BIG)
+    ws = jnp.sort(w)
+    live = ws < BIG
+    first = jnp.concatenate([live[:1], live[1:] & (ws[1:] != ws[:-1])])
+    gid = jnp.cumsum(first.astype(jnp.int32)) - 1      # compact slot per elem
+    gid = jnp.where(live, gid, N)                       # padding -> overflow
+    tf = jnp.zeros((N + 1,)).at[gid].add(1.0)[:N]
+    uw = jnp.full((N + 1,), -1, jnp.int32).at[gid].set(ws.astype(jnp.int32))[:N]
+    weight = tf * voc.word_weight[jnp.maximum(uw, 0)] * (uw >= 0)
+    weight = weight / jnp.maximum(jnp.sum(weight), 1e-9)
+    return SparseBow(words=uw, weight=weight)
