@@ -115,7 +115,7 @@ class TestTrackerDistBA:
         )
 
     def test_tracker_global_and_local_ba_distributed(self, rng):
-        from __graft_entry__ import _map_from_ba_problem
+        from tpuslam.testing import map_from_ba_problem as _map_from_ba_problem
 
         cam, prob = _problem(rng)
         m = _map_from_ba_problem(cam, prob, max_kf=8, n_kp=80, max_pt=128)

@@ -166,3 +166,117 @@ class TestLocalMapSubset:
         mask = np.asarray(local_keyframe_mask(m, jnp.asarray(obs), max_kfs=3))
         assert mask[2]
         assert mask.sum() <= 13  # 3 voters + up-to-10 covis neighbors
+
+
+class TestAdviceFixes:
+    """Regression tests for the round-2 advisor findings."""
+
+    def test_subset_truncation_keeps_newest_points(self, rng):
+        """When the local candidate set overflows max_local_pts, the kept
+        ids must be the NEWEST (highest) point ids — the freshly
+        triangulated structure the frame most likely observes."""
+        m, feats = TestLocalMapSubset._scene_map_and_frame(self, rng)
+        inv_s2 = jnp.ones(8)
+        N = feats.xy.shape[0]
+        cap = 64  # far below the 400 live candidates -> truncation
+        # Rebuild the frame to observe NEWEST points (ids 336..399), which
+        # the truncated candidate set must retain.
+        P_live = 400
+        vis = np.arange(P_live - 2 * cap, P_live, 2)[: N]
+        X = np.asarray(m.pt_xyz)
+        uv = np.asarray(CAM.fx) * X[vis, :2] / X[vis, 2:3] + np.array(
+            [CAM.cx, CAM.cy], np.float32
+        )
+        inside = (
+            (uv[:, 0] >= 0) & (uv[:, 0] < 320) & (uv[:, 1] >= 0) & (uv[:, 1] < 240)
+        )
+        n = len(vis)
+        xy = np.zeros((N, 2), np.float32)
+        xy[:n] = uv
+        desc = np.zeros((N, 8), np.uint32)
+        desc[:n] = np.asarray(m.pt_desc)[vis]
+        valid = np.zeros(N, bool)
+        valid[:n] = inside
+        feats = feats._replace(
+            xy=jnp.asarray(xy), desc=jnp.asarray(desc), valid=jnp.asarray(valid)
+        )
+        obs0 = jnp.full(N, -1, jnp.int32)
+        out = track_local_map(
+            CAM, m, jnp.eye(3), jnp.zeros(3), feats, obs0, inv_s2,
+            local_kf_mask=jnp.ones(m.capacity_kf, bool), max_local_pts=cap,
+        )
+        obs = np.asarray(out[2])
+        matched = obs[obs >= 0]
+        assert len(matched) > 0
+        # Every match must come from the top-`cap` candidate ids.
+        live_ids = np.sort(
+            np.unique(np.asarray(m.kf_obs_pt)[np.asarray(m.kf_obs_pt) >= 0])
+        )
+        newest = set(live_ids[-cap:].tolist())
+        for p in matched:
+            assert int(p) in newest
+
+    def test_local_keyframe_mask_zero_votes_falls_back_to_ref(self, rng):
+        m, feats = TestLocalMapSubset._scene_map_and_frame(self, rng)
+        obs = jnp.full(feats.xy.shape[0], -1, jnp.int32)  # nothing matched
+        mask_no_ref = np.asarray(local_keyframe_mask(m, obs, max_kfs=3))
+        assert mask_no_ref.sum() == 0  # no arbitrary KF-0 neighborhood
+        mask_ref = np.asarray(
+            local_keyframe_mask(m, obs, max_kfs=3, ref_kf=jnp.int32(2))
+        )
+        assert mask_ref[2]
+
+    def test_shared_counts_dedup_duplicate_slots(self, rng):
+        """A point id held in two keypoint slots of one KF counts once."""
+        m = _random_map(rng)
+        obs = np.asarray(m.kf_obs_pt).copy()
+        # KF 1 holds point obs[1,0] twice.
+        dup = obs[1, 0]
+        obs[1, 1] = dup
+        m2 = m._replace(kf_obs_pt=jnp.asarray(obs))
+        inc = np.asarray(observation_incidence(m2))  # clamped to 1
+        for anchor in (0, 1, 3):
+            expect = inc @ inc[anchor]
+            got = np.asarray(shared_point_counts(m2, jnp.int32(anchor)))
+            np.testing.assert_allclose(got, expect, atol=1e-5)
+
+
+class TestPointCompaction:
+    def test_compact_point_slots_roundtrip(self, rng):
+        from tpuslam.mapstate.core import compact_point_slots
+
+        m = _random_map(rng, K=8, N=40, P=100, n_valid_kf=6, n_valid_pt=80)
+        # Invalidate a scattered subset (as culling would).
+        kill = np.zeros(100, bool)
+        kill[rng.choice(80, 30, replace=False)] = True
+        pt_valid = np.asarray(m.pt_valid) & ~kill
+        obs = np.asarray(m.kf_obs_pt).copy()
+        obs[(obs >= 0) & ~pt_valid[np.maximum(obs, 0)]] = -1
+        m = m._replace(
+            pt_valid=jnp.asarray(pt_valid), kf_obs_pt=jnp.asarray(obs)
+        )
+        xyz_of = {
+            i: np.asarray(m.pt_xyz[i]) for i in range(100) if pt_valid[i]
+        }
+        m2, remap = compact_point_slots(m)
+        remap = np.asarray(remap)
+        assert int(m2.n_pt) == int(pt_valid.sum())
+        # Valid points live in a prefix, data carried over.
+        v2 = np.asarray(m2.pt_valid)
+        assert v2[: int(m2.n_pt)].all() and not v2[int(m2.n_pt):].any()
+        for old, new in enumerate(remap):
+            if new >= 0:
+                np.testing.assert_allclose(
+                    np.asarray(m2.pt_xyz[new]), xyz_of[old]
+                )
+        # Creation order preserved (stable): remap is increasing on valid.
+        valid_new = remap[remap >= 0]
+        assert (np.diff(valid_new) > 0).all()
+        # Observations point at the same 3D points.
+        obs2 = np.asarray(m2.kf_obs_pt)
+        for k in range(8):
+            for s in range(40):
+                if obs[k, s] >= 0:
+                    assert obs2[k, s] == remap[obs[k, s]]
+                else:
+                    assert obs2[k, s] == -1

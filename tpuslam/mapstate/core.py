@@ -220,6 +220,49 @@ def insert_points(
     return m, jnp.where(ok, slot, -1)
 
 
+@jax.jit
+def compact_point_slots(m: MapState):
+    """Re-pack valid points to the front of the point arrays and remap every
+    observation — point-slot recycling at the watermark (the TPU-native form
+    of the reference's unbounded point set, /root/reference/src/Map.cc:40:
+    it deletes culled MapPoints outright; fixed-capacity SoA arrays compact
+    instead). The stable sort preserves creation order, so monotonic-id
+    assumptions (newest-first local-map selection) stay true.
+
+    Returns (compacted_map, old_to_new (P,) int32 with -1 for culled slots);
+    the caller must remap any slot references it holds outside the map
+    (tracker _last_obs) and invalidate index-based snapshots (in-flight GBA).
+    """
+    P = m.capacity_pt
+    perm = jnp.argsort(jnp.where(m.pt_valid, 0, 1), stable=True)
+    old_to_new = jnp.full((P,), -1, jnp.int32).at[perm].set(
+        jnp.arange(P, dtype=jnp.int32)
+    )
+    old_to_new = jnp.where(m.pt_valid, old_to_new, -1)
+    obs = m.kf_obs_pt
+    obs_new = jnp.where(
+        obs >= 0, old_to_new[jnp.maximum(obs, 0)], obs
+    )
+
+    def g(a):
+        return a[perm]
+
+    return m._replace(
+        pt_xyz=g(m.pt_xyz),
+        pt_valid=g(m.pt_valid),
+        pt_desc=g(m.pt_desc),
+        pt_normal=g(m.pt_normal),
+        pt_min_dist=g(m.pt_min_dist),
+        pt_max_dist=g(m.pt_max_dist),
+        pt_ref_kf=g(m.pt_ref_kf),
+        pt_first_kf=g(m.pt_first_kf),
+        pt_found=g(m.pt_found),
+        pt_visible=g(m.pt_visible),
+        kf_obs_pt=obs_new,
+        n_pt=jnp.sum(m.pt_valid.astype(jnp.int32)),
+    ), old_to_new
+
+
 def observation_incidence(m: MapState) -> jnp.ndarray:
     """(K, P) float32 incidence matrix from the observation table."""
     K, N = m.kf_obs_pt.shape
@@ -279,6 +322,7 @@ def shared_point_counts(m: MapState, anchor) -> jnp.ndarray:
     one covisibility ROW without forming the (K, P) incidence (a (P,)
     scatter + a (K, N) gather): the scalable form of
     `observation_incidence(m) @ observation_incidence(m)[anchor]`."""
+    K, N = m.kf_obs_pt.shape
     P = m.capacity_pt
     has = (m.kf_obs_pt >= 0) & m.kf_kp_valid & m.kf_valid[:, None]
     pt = jnp.where(has, m.kf_obs_pt, P)
@@ -286,7 +330,15 @@ def shared_point_counts(m: MapState, anchor) -> jnp.ndarray:
     mark = jnp.zeros((P + 1,), bool).at[jnp.where(has[anchor], pt[anchor], P)].set(
         True
     ).at[P].set(False)
-    return jnp.sum(has & mark[pt], axis=1).astype(jnp.float32)
+    # Per-row dedup: count each point ONCE per keyframe even if a fuse/merge
+    # path ever leaves the same point id in two keypoint slots — keeps this
+    # row in lockstep with observation_incidence's min(inc, 1) clamp. Sort
+    # the hit ids per row and count first occurrences.
+    v = jnp.sort(jnp.where(has & mark[pt], pt, P), axis=1)
+    first = jnp.concatenate(
+        [jnp.ones((K, 1), bool), v[:, 1:] != v[:, :-1]], axis=1
+    )
+    return jnp.sum(first & (v < P), axis=1).astype(jnp.float32)
 
 
 def compute_point_descriptors(m: MapState, pt_mask: jnp.ndarray, max_obs: int = 16) -> MapState:

@@ -188,8 +188,10 @@ def optimize_pose_graph(
             def precond(x):
                 return jnp.einsum("kij,kj->ki", Dinv, x)
 
+            # tol must be reachable in float32 (1e-8 is not: every GN
+            # iteration would burn the full cg_iters budget).
             dx, _ = jax.scipy.sparse.linalg.cg(
-                matvec, bK, M=precond, maxiter=cg_iters, tol=1e-8
+                matvec, bK, M=precond, maxiter=cg_iters, tol=1e-6
             )
             dx = jnp.where(pin7, 0.0, dx)
 

@@ -697,12 +697,38 @@ class LoopCloser:
             valid=jnp.ones(len(ei), bool),
             weight=jnp.asarray(np.array(wgt, np.float32)),
         )
-        node_valid = m.kf_valid
-        node_fixed = jnp.zeros((K,), bool).at[kf_loop].set(True)
-        s_new, R_new, t_new, errs = optimize_pose_graph(
-            s_init, R_init, t_init, node_valid, node_fixed, edges,
-            iters=15, fix_scale=self.fix_scale,
-        )
+        # Dense-vs-CG by LIVE node count, not padded capacity: small sessions
+        # compact the live keyframes into a fixed 192-slot problem (one
+        # compile) and take the dense (7*192)^2 solve; only graphs that are
+        # actually large pay the matrix-free PCG path.
+        DENSE_NODES = 192
+        n_live = len(order)
+        if n_live <= DENSE_NODES and K > DENSE_NODES:
+            comp = np.full(K, DENSE_NODES - 1, np.int32)
+            comp[np.array(order, np.int64)] = np.arange(n_live, dtype=np.int32)
+            sel = jnp.asarray(
+                np.array(order + [order[-1]] * (DENSE_NODES - n_live), np.int32)
+            )
+            comp_j = jnp.asarray(comp)
+            edges_c = edges._replace(i=comp_j[edges.i], j=comp_j[edges.j])
+            nvalid = jnp.arange(DENSE_NODES) < n_live
+            nfixed = jnp.zeros((DENSE_NODES,), bool).at[int(comp[kf_loop])].set(True)
+            s_c, R_c, t_c, errs = optimize_pose_graph(
+                s_init[sel], R_init[sel], t_init[sel], nvalid, nfixed,
+                edges_c, iters=15, fix_scale=self.fix_scale,
+                dense_max_nodes=DENSE_NODES,
+            )
+            live = jnp.asarray(np.array(order, np.int32))
+            s_new = s_init.at[live].set(s_c[:n_live])
+            R_new = R_init.at[live].set(R_c[:n_live])
+            t_new = t_init.at[live].set(t_c[:n_live])
+        else:
+            node_valid = m.kf_valid
+            node_fixed = jnp.zeros((K,), bool).at[kf_loop].set(True)
+            s_new, R_new, t_new, errs = optimize_pose_graph(
+                s_init, R_init, t_init, node_valid, node_fixed, edges,
+                iters=15, fix_scale=self.fix_scale,
+            )
 
         # Point correction through each point's reference KF (:989-1043):
         # X' = S_new_ref^-1 ( S_old_ref (X) ).

@@ -283,6 +283,34 @@ def tracked_map_points(m: MapState, kf: jnp.ndarray, min_obs: jnp.ndarray):
     return jnp.sum(ok)
 
 
+@partial(jax.jit, static_argnames=("depth",))
+def keyframe_gates(
+    m: MapState,
+    ref_kf: jnp.ndarray,
+    feats: FrameFeatures,
+    obs_pt: jnp.ndarray,
+    th_depth: jnp.ndarray,
+    depth: bool = False,
+):
+    """All scalar inputs of Tracking::NeedNewKeyFrame (/root/reference/src/
+    Tracking.cc:1029-1070) packed into ONE (4,) device array so the host
+    pays a single device->host transfer per frame: [n_valid_kf,
+    ref_kf_tracked_matches, tracked_close, untracked_close]. min_obs for
+    the reference-matches count follows nKFs<=2 ? 2 : 3 (Tracking.cc:1049).
+    """
+    n_kf = jnp.sum(m.kf_valid.astype(jnp.float32))
+    min_obs = jnp.where(n_kf <= 2, 2.0, 3.0)
+    ref_matches = tracked_map_points(m, ref_kf, min_obs).astype(jnp.float32)
+    if depth:
+        close = (feats.depth > 0) & (feats.depth < th_depth) & feats.valid
+        tracked_close = jnp.sum((close & (obs_pt >= 0)).astype(jnp.float32))
+        untracked_close = jnp.sum((close & (obs_pt < 0)).astype(jnp.float32))
+    else:
+        tracked_close = jnp.float32(0.0)
+        untracked_close = jnp.float32(0.0)
+    return jnp.stack([n_kf, ref_matches, tracked_close, untracked_close])
+
+
 def _optimize_frame_pose(cam, m, cur, obs_pt, R0, t0, inv_sigma2_table):
     """Pose-optimize the current frame from its obs_pt assignment; drop
     outlier assignments (Tracking.cc:950-980 semantics)."""
@@ -351,9 +379,16 @@ def track_local_map(
             jnp.zeros((P + 1,), bool).at[ptl.reshape(-1)].set(True)[:P]
             & m.pt_valid
         )
-        sel = jnp.nonzero(mark, size=L, fill_value=P)[0].astype(jnp.int32)
-        live = sel < P
-        ids = jnp.minimum(sel, P - 1)
+        # Newest-first: point slots are allocated monotonically, so when the
+        # candidate set overflows the cap the HIGHEST ids are the points the
+        # current frame most likely observes (the freshly triangulated local
+        # structure). nonzero on the reversed mark yields descending ids;
+        # re-sort ascending so downstream tie-breaking (duplicate
+        # resolution) matches the dense path's id order exactly.
+        sel_rev = jnp.nonzero(mark[::-1], size=L, fill_value=P + 1)[0]
+        sel = jnp.sort((P - 1 - sel_rev).astype(jnp.int32))  # fill -> -2 first
+        live = sel >= 0
+        ids = jnp.maximum(sel, 0)
     else:
         ids = jnp.arange(P, dtype=jnp.int32)
         live = m.pt_valid
@@ -424,7 +459,7 @@ def track_local_map(
 
 @partial(jax.jit, static_argnames=("max_kfs",))
 def local_keyframe_mask(
-    m: MapState, obs_pt: jnp.ndarray, max_kfs: int = 80
+    m: MapState, obs_pt: jnp.ndarray, max_kfs: int = 80, ref_kf=None
 ) -> jnp.ndarray:
     """UpdateLocalKeyFrames (/root/reference/src/Tracking.cc:1283-1337):
     keyframes observing the current frame's matched points, capped at the
@@ -433,6 +468,10 @@ def local_keyframe_mask(
     here the vote cap plus the best voter's covisible set (via
     shared_point_counts) covers that intent in two vectorized passes
     (documented deviation).
+
+    With zero matched points (e.g. a localization-mode VO frame) there is
+    no vote, so `ref_kf` (the last reference keyframe) seeds the local map
+    instead of argmax(0)=slot 0 producing an arbitrary neighborhood.
 
     Returns a (K,) bool mask over keyframe slots.
     """
@@ -444,13 +483,18 @@ def local_keyframe_mask(
     has = (m.kf_obs_pt >= 0) & m.kf_kp_valid & m.kf_valid[:, None]
     pt = jnp.where(has, m.kf_obs_pt, P)
     votes = jnp.sum(has & matched[pt], axis=1)  # keyframeCounter
+    if ref_kf is not None:
+        votes = jnp.where(
+            jnp.any(votes > 0), votes, votes.at[jnp.maximum(ref_kf, 0)].add(1)
+        )
     top = jnp.argsort(-votes)[:max_kfs]
     mask = jnp.zeros((K,), bool).at[top].set(votes[top] > 0)
-    # Neighbors of the best voter (GetBestCovisibilityKeyFrames(10) spirit).
+    # Neighbors of the best voter (GetBestCovisibilityKeyFrames(10) spirit);
+    # only expand when somebody actually voted.
     best = jnp.argmax(votes)
     shared = shared_point_counts(m, best)
     nb = jnp.argsort(-shared)[:10]
-    mask = mask.at[nb].set(mask[nb] | (shared[nb] >= 15.0))
+    mask = mask.at[nb].set(mask[nb] | ((shared[nb] >= 15.0) & (votes[best] > 0)))
     return mask & m.kf_valid
 
 
