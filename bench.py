@@ -1,23 +1,35 @@
 """Benchmark: per-frame tracking throughput on real TPU hardware.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 
-Workload: the per-frame hot path at reference operating parameters
-(640x480 grayscale, 1000 ORB features, 8-level pyramid — TUM1.yaml) —
-ORB extraction + projection matching against 1000 map points + pose
-optimization, all in one jitted program, over BATCH independent camera
-streams (multi-stream batching amortizes fixed per-op cost; the metric is
-frames/s per chip, which is what a multi-camera / multi-robot deployment
-consumes). See __graft_entry__.entry_batched; BATCH=4 measured optimal on
-v5e (B=8 regresses on VMEM pressure).
+Headline workload: the FULL per-frame tracking hot path at reference
+operating parameters (640x480 grayscale, 1000 ORB features, 8-level
+pyramid — TUM1.yaml): ORB extraction + motion-model projection search
+against the last frame's 1000 points + pose optimization + local-map
+search against 4096 map points with the real isInFrustum gates + second
+pose optimization — the same stage list tools/refbench times for the C++
+baseline (Frame construction + SearchByProjection + 2x PoseOptimization,
+i.e. Tracking.cc:335 + :423). All in one jitted program, over BATCH
+independent camera streams (multi-stream batching amortizes fixed per-op
+cost; the metric is frames/s per chip, which is what a multi-camera /
+multi-robot deployment consumes; pipeline.multi.MultiTracker is the
+user-facing form). See __graft_entry__.entry_batched; BATCH=4 measured
+optimal on v5e.
+
+`extra` carries two secondary measurements recorded every round:
+  - stereo_frame_ms: stereo Frame construction (both images + SAD stereo
+    match) at the KITTI operating point (1241x376, 2000 features —
+    KITTI00-02.yaml), vs refbench's stereo_frame_ms.
+  - e2e_tracker_fps: sustained end-to-end throughput of the REAL
+    Tracker.track_monocular (host state machine + per-frame host syncs
+    included) over a synthetic sequence. Set BENCH_SKIP_E2E=1 to skip.
 
 Baseline: MEASURED on this host from the reference's own code — the
 tools/refbench harness compiles /root/reference's core (ORBextractor,
-ORBmatcher, g2o Optimizer; no viewer) and times Frame construction +
-SearchByProjection + 2x PoseOptimization at the same operating point
-(see tools/refbench/results.json, recorded at build time). Falls back to
-the reference's own real-time claim (~30 fps on an i7, README.md:59) if
-the harness has not been run.
+ORBmatcher, g2o Optimizer; no viewer) and times the same stage list at
+the same operating point (tools/refbench/results.json, recorded at build
+time). Falls back to the reference's own real-time claim (~30 fps on an
+i7, README.md:59) if the harness has not been run.
 """
 
 import json
@@ -29,20 +41,26 @@ import numpy as np
 BATCH = 4
 
 
-def measured_baseline_fps() -> float:
-    """Reference frames/s measured on THIS host by tools/refbench."""
+def _refbench_results() -> dict:
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "tools", "refbench", "results.json")
     try:
         with open(path) as f:
-            return float(json.load(f)["track_fps"])
-    except (OSError, KeyError, ValueError):
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def measured_baseline_fps() -> float:
+    """Reference frames/s measured on THIS host by tools/refbench."""
+    try:
+        return float(_refbench_results()["track_fps"])
+    except (KeyError, ValueError):
         return 30.0  # reference's own claim; refbench not built/run
 
 
-def main():
-    import jax
-
+def bench_full_path(jax) -> float:
+    """Headline: full hot path, BATCH streams, frames/s per chip."""
     from __graft_entry__ import entry_batched
 
     step, args = entry_batched(BATCH)
@@ -73,8 +91,101 @@ def main():
         out = jstep(frames[i % len(frames)], *args[1:])
     np.asarray(out[1])
     t1 = time.perf_counter()
+    return n_iters * BATCH / (t1 - t0)
 
-    fps = n_iters * BATCH / (t1 - t0)
+
+def bench_stereo_frame(jax) -> float:
+    """Stereo Frame construction at the KITTI operating point, ms/frame
+    (vs refbench stereo_frame_ms; /root/reference/src/Frame.cc:74)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from tpuslam.ops.orb import ORBConfig
+    from tpuslam.pipeline.steps import stereo_frame_features
+
+    cfg = ORBConfig(n_features=2000)
+    fx, bf = 718.856, 386.1448  # KITTI00-02.yaml Camera.fx / Camera.bf
+    rng = np.random.default_rng(2)
+    H, W = 376, 1241
+    frames = [
+        (
+            jnp.asarray(rng.uniform(0, 255, (H, W)).astype(np.float32)),
+            jnp.asarray(rng.uniform(0, 255, (H, W)).astype(np.float32)),
+        )
+        for _ in range(4)
+    ]
+    step = jax.jit(lambda L, R: stereo_frame_features(L, R, cfg, fx, bf))
+    for L, R in frames:
+        np.asarray(step(L, R).xy)
+    n_iters = 30
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        out = step(*frames[i % len(frames)])
+    np.asarray(out.xy)
+    t1 = time.perf_counter()
+    return (t1 - t0) / n_iters * 1e3
+
+
+def bench_e2e_tracker() -> float:
+    """Sustained fps of the real Tracker (host orchestration + the <=2
+    packed device syncs per frame) over a rendered synthetic sequence."""
+    import jax.numpy as jnp
+
+    from tests.synthetic import StepWallScene, orbit_trajectory
+    from tpuslam.geometry.camera import PinholeCamera
+    from tpuslam.ops.orb import ORBConfig
+    from tpuslam.pipeline.tracker import Tracker, TrackerConfig
+
+    rng = np.random.default_rng(3)
+    cam = PinholeCamera(fx=500.0, fy=500.0, cx=320.0, cy=240.0,
+                        width=640, height=480)
+    scene = StepWallScene(rng)
+    n_frames = 60
+    poses = orbit_trajectory(n_frames, step=0.02, yaw_rate=0.002)
+    imgs = [jnp.asarray(scene.render(cam, R, t)) for R, t in poses]
+    tracker = Tracker(TrackerConfig(
+        cam=cam,
+        orb=ORBConfig(n_features=1000),
+        max_keyframes=64,
+        max_points=16384,
+        enable_loop_closing=False,
+        async_mapping=True,
+    ))
+    # Warm-up: run the first frames once to trigger every compile.
+    for i in range(min(12, n_frames)):
+        tracker.track_monocular(imgs[i], i)
+    t0 = time.perf_counter()
+    n_timed = 0
+    for i in range(12, n_frames):
+        tracker.track_monocular(imgs[i], i)
+        n_timed += 1
+    t1 = time.perf_counter()
+    tracker.shutdown()
+    return n_timed / (t1 - t0)
+
+
+def main():
+    import jax
+
+    ref = _refbench_results()
+    fps = bench_full_path(jax)
+    extra = {}
+    try:
+        stereo_ms = bench_stereo_frame(jax)
+        extra["stereo_frame_ms"] = round(stereo_ms, 2)
+        if "stereo_frame_ms" in ref:
+            extra["stereo_vs_baseline"] = round(
+                float(ref["stereo_frame_ms"]) / stereo_ms, 2
+            )
+    except Exception as e:  # never lose the headline to a secondary bench
+        extra["stereo_frame_ms_error"] = repr(e)[:200]
+    if not os.environ.get("BENCH_SKIP_E2E"):
+        try:
+            extra["e2e_tracker_fps"] = round(bench_e2e_tracker(), 2)
+        except Exception as e:
+            extra["e2e_tracker_fps_error"] = repr(e)[:200]
+
     baseline_fps = measured_baseline_fps()
     print(
         json.dumps(
@@ -83,6 +194,7 @@ def main():
                 "value": round(fps, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / baseline_fps, 3),
+                "extra": extra,
             }
         )
     )
