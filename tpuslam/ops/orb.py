@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from functools import partial
 
 import jax
@@ -79,7 +80,25 @@ def _make_brief_pattern(seed: int = 1234) -> np.ndarray:
     return pattern
 
 
-BRIEF_PATTERN = _make_brief_pattern()
+def _load_brief_pattern() -> np.ndarray:
+    """Shipped LEARNED pattern (tools/train_brief_pattern.py: greedy
+    decorrelation over steered synthetic patches, the ORB paper's §4.3
+    procedure re-run on our own corpus — intent of the reference's
+    bit_pattern_31_ without copying its bits); falls back to the seeded
+    Gaussian when the artifact is absent."""
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "data",
+        "brief_pattern.npz",
+    )
+    if os.path.exists(path):
+        pat = np.load(path)["pattern"].astype(np.int32)
+        if pat.shape == (_N_PAIRS, 2, 2):
+            return pat
+    return _make_brief_pattern()
+
+
+BRIEF_PATTERN = _load_brief_pattern()
 
 
 @dataclasses.dataclass(frozen=True)
