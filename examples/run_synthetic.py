@@ -39,8 +39,12 @@ def main():
     poses = orbit_trajectory(n_frames, step=0.045)
     sensor = {"mono": SensorType.MONOCULAR, "stereo": SensorType.STEREO,
               "rgbd": SensorType.RGBD}[mode]
+    # init_min_matches scales with the feature budget: the reference's 100
+    # assumes a 1000-feature configuration (Tracking.cc:637); this demo
+    # runs 400 features on a quarter-size image.
     sys_ = System(cam, sensor, orb=ORBConfig(n_features=400),
-                  max_keyframes=60, max_points=8000, kf_max_frames=10)
+                  max_keyframes=60, max_points=8000, kf_max_frames=10,
+                  init_min_matches=60)
 
     times = []
     for i, (R, t) in enumerate(poses):

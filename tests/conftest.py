@@ -47,8 +47,16 @@ _FAST_MODULES = {
 
 
 def pytest_collection_modifyitems(config, items):
+    markexpr = config.getoption("-m") or ""
     for item in items:
         mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod == "test_soak":
+            # Endurance tier: only runs when explicitly selected.
+            if "soak" not in markexpr:
+                item.add_marker(
+                    pytest.mark.skip(reason="endurance tier: run with -m soak")
+                )
+            continue
         item.add_marker("fast" if mod in _FAST_MODULES else "slow")
 
 

@@ -3,9 +3,12 @@
    compiled. No Pangolin exists on this host. */
 #ifndef REFBENCH_PANGOLIN_STUB_H
 #define REFBENCH_PANGOLIN_STUB_H
+#include <string>
 namespace pangolin {
 struct OpenGlMatrix {
   double m[16];
 };
+/* System::Shutdown calls this when a viewer exists; headless no-op. */
+inline void BindToContext(const std::string &) {}
 }  // namespace pangolin
 #endif

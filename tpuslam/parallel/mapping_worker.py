@@ -62,7 +62,8 @@ class RemoteMappingWorker:
     """Client handle: spawns the worker process and ships it mapping jobs.
 
     process(m, ki, depth_mode) is synchronous (call it from the tracker's
-    mapping thread — the single-slot future protocol is unchanged)."""
+    mapping thread — the single-slot future protocol is unchanged); it
+    returns (MapState, pt_remap-or-None)."""
 
     def __init__(self, tracker_config, platform: str = "cpu"):
         env = dict(os.environ)
@@ -82,12 +83,12 @@ class RemoteMappingWorker:
         """Run one keyframe's mapping + loop-closing job remotely; returns
         the new MapState (same pytree type as the input)."""
         _write_msg(self._proc.stdin, ("map", _map_to_numpy(m), int(ki_int), bool(depth_mode)))
-        kind, payload = _read_msg(self._proc.stdout)
+        kind, payload, pt_remap = _read_msg(self._proc.stdout)
         if kind == "err":
             raise RuntimeError(f"mapping worker failed:\n{payload}")
         import jax.numpy as jnp
 
-        return type(m)(*(jnp.asarray(a) for a in payload))
+        return type(m)(*(jnp.asarray(a) for a in payload)), pt_remap
 
     def reset(self):
         """Clear the worker's loop-closing state (Tracking::Reset also
@@ -147,11 +148,15 @@ def _worker_main():
             m = type(engine.map)(*(jnp.asarray(a) for a in arrays))
             engine._depth_mode = depth_mode
             m = engine._mapping_compute(m, ki_int)
-            _write_msg(stdout, ("ok", _map_to_numpy(m)))
+            # Point-slot compaction remap (if any) rides back with the
+            # snapshot so the tracker can rewrite its slot references.
+            remap = engine._pending_pt_remap
+            engine._pending_pt_remap = None
+            _write_msg(stdout, ("ok", _map_to_numpy(m), remap))
         except Exception:
             import traceback
 
-            _write_msg(stdout, ("err", traceback.format_exc()))
+            _write_msg(stdout, ("err", traceback.format_exc(), None))
 
 
 if __name__ == "__main__":

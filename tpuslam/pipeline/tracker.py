@@ -53,10 +53,10 @@ class TrackerConfig:
     # Map capacity. Defaults hold a full KITTI-00-scale session (the
     # reference grows ~1.4k KFs there) without force-eviction; the
     # capacity-scaling machinery (blocked covisibility, local-subset
-    # TrackLocalMap, CG pose graph) keeps per-frame cost flat at this
-    # size. Small demos/tests should pass smaller capacities for faster
-    # compiles.
-    max_keyframes: int = 1024
+    # TrackLocalMap, CG pose graph, point-slot compaction) keeps per-frame
+    # cost flat at this size. Small demos/tests should pass smaller
+    # capacities for faster compiles.
+    max_keyframes: int = 1536
     max_points: int = 200_000
     # Keyframe cadence (Tracking::NeedNewKeyFrame, Tracking.cc:1029):
     # mMaxFrames = fps; ref-ratio 0.9 mono / 0.75 stereo+RGB-D
@@ -68,6 +68,14 @@ class TrackerConfig:
     min_inliers_ok: int = 30       # TrackLocalMap acceptance (Tracking.cc:1020)
     min_inliers_motion: int = 10   # motion-model acceptance (Tracking.cc:962)
     local_ba_window: int = 8
+    # LocalMapping breadth (/root/reference/src/LocalMapping.cc:207,454):
+    # triangulate / fuse against the nn best covisible neighbors, nn = 10
+    # stereo/RGB-D, 20 mono (0 = that auto rule); fusion extends the target
+    # set with `fuse_second_hop` neighbors of each neighbor and runs BOTH
+    # directions per pair (LocalMapping.cc:466-488,489-552).
+    tri_neighbors: int = 0
+    fuse_neighbors: int = 0
+    fuse_second_hop: int = 5
     init_min_matches: int = 100    # MonocularInitialization (Tracking.cc:606,637)
     # Stereo/RGB-D: close-point depth threshold factor; th_depth =
     # th_depth_factor x baseline (ThDepth in the YAMLs, Tracking.cc:144-147).
@@ -149,6 +157,18 @@ class Tracker:
         # Async mapping worker (single-slot, mirrors SetAcceptKeyFrames).
         self._mapping_future = None
         self._mapping_pool = None
+        # InterruptBA analog (Tracking.cc:1097-1105 sets mbAbortBA when a
+        # keyframe is wanted while LocalMapping is busy; g2o polls the flag,
+        # Optimizer.cc:65-66): the mapping job checks this between stages
+        # and truncates its optional work (remaining fusion pairs, local BA
+        # chunks) so the tracker is never starved of keyframes.
+        import threading
+
+        self._mapping_interrupt = threading.Event()
+        # Point-slot compaction hand-off: when a mapping job compacts the
+        # point arrays, the old->new remap is applied to the tracker's own
+        # slot references (_last_obs) at adoption time.
+        self._pending_pt_remap = None
         # Async global BA (the reference's transient, abortable GBA thread,
         # LoopClosing.cc:579,645): a generation counter plays mnFullBAIdx —
         # results from a superseded generation are discarded (:416,658).
@@ -208,6 +228,14 @@ class Tracker:
     def _next_key(self):
         self._key, k = jax.random.split(self._key)
         return k
+
+    @staticmethod
+    def _fetch(*scalars):
+        """Materialize several device scalars in ONE device->host transfer
+        (each separate int()/float() costs a full round trip on the
+        tunneled TPU; the per-frame budget is <= 2 transfers)."""
+        packed = jnp.stack([jnp.asarray(s).astype(jnp.float32) for s in scalars])
+        return np.asarray(packed)
 
     def _frame_features(self, img: jnp.ndarray, init: bool = False) -> FrameFeatures:
         f = self._extract_init(img) if init else self._extract(img)
@@ -397,7 +425,7 @@ class Tracker:
             self.cfg.cam, prob, self._ba_mesh, iters=iters
         )
 
-    def _local_ba(self, m: MapState, center_kf: int) -> MapState:
+    def _local_ba(self, m: MapState, center_kf: int, iters: int = 8) -> MapState:
         """Local BA around the newest keyframe. Single-device: one jitted
         program (steps.local_bundle_adjustment). With a distributed mesh:
         the same covisibility-window problem assembled host-side and solved
@@ -408,6 +436,7 @@ class Tracker:
             return steps.local_bundle_adjustment(
                 cfg.cam, m, jnp.int32(center_kf), self.inv_sigma2,
                 window=cfg.local_ba_window, n_levels=cfg.orb.n_levels,
+                iters=iters,
             )
         K, N = m.kf_obs_pt.shape
         kfi, pti, uvr, has, fixed_kf, fixed_pt = steps.build_local_ba_problem(
@@ -422,7 +451,7 @@ class Tracker:
             valid=has & m.pt_valid[pti],
             fixed_kf=fixed_kf, fixed_pt=fixed_pt,
         )
-        R, t, X, chi2 = self._run_ba(prob, iters=8)
+        R, t, X, chi2 = self._run_ba(prob, iters=iters)
         stereo_e = uvr[:, 2] >= 0
         th = jnp.where(stereo_e, 7.815, 5.991)
         bad = prob.valid & (chi2 > th)
@@ -441,7 +470,10 @@ class Tracker:
         while done < iters:
             if gen != self._gba_generation:
                 return None  # aborted
-            mm = self._global_ba(mm, iters=min(chunk, iters - done))
+            # Fixed-size chunks: ONE compiled trace regardless of `iters`
+            # (a distinct static iters per call would each trace anew), and
+            # at most `chunk` LM iterations of wasted work on abort.
+            mm = self._global_ba(mm, iters=chunk)
             done += chunk
         return (
             mm.kf_R, mm.kf_t, mm.pt_xyz, gen,
@@ -516,7 +548,9 @@ class Tracker:
         kwargs = {}
         if cap and cap < m.capacity_pt:
             kwargs = dict(
-                local_kf_mask=steps.local_keyframe_mask(m, obs),
+                local_kf_mask=steps.local_keyframe_mask(
+                    m, obs, ref_kf=jnp.int32(max(self._last_kf_idx, 0))
+                ),
                 max_local_pts=cap,
             )
         return steps.track_local_map(
@@ -550,7 +584,8 @@ class Tracker:
                 scale_factor=cfg.orb.scale_factor, n_levels=cfg.orb.n_levels,
                 th=7.0,
             )
-            if int(n_matches) < 20 or int(n_inl) < cfg.min_inliers_motion:
+            nm, ni = self._fetch(n_matches, n_inl)  # one transfer
+            if nm < 20 or ni < cfg.min_inliers_motion:
                 # Wider window retry (Tracking.cc:944: th=2x retry).
                 R, t, obs, n_inl, n_matches = steps.track_motion_model(
                     cfg.cam, self.map, self._last_feats, self._last_obs,
@@ -558,11 +593,12 @@ class Tracker:
                     scale_factor=cfg.orb.scale_factor, n_levels=cfg.orb.n_levels,
                     th=14.0,
                 )
+                nm, ni = self._fetch(n_matches, n_inl)
             # The reference demands >= 20 raw matches BEFORE trusting the
             # optimization (Tracking.cc:944-947): a handful of aliased
             # window matches can "converge" with 10+ inliers at a wildly
             # wrong pose, and only the match-count gate catches it.
-            if int(n_matches) >= 20 and int(n_inl) >= cfg.min_inliers_motion:
+            if nm >= 20 and ni >= cfg.min_inliers_motion:
                 return True, R, t, obs, True
         ok, R, t, obs = self._ref_kf_estimate(feats)
         return ok, R, t, obs, False
@@ -580,7 +616,8 @@ class Tracker:
         )
         # >= 15 matches to attempt, >= 10 map inliers to accept
         # (Tracking.cc:821,851).
-        if int(n_matches) < 15 or int(n_inl) < 10:
+        nm, ni = self._fetch(n_matches, n_inl)  # one transfer
+        if nm < 15 or ni < 10:
             return False, None, None, None
         return True, R, t, obs
 
@@ -594,10 +631,22 @@ class Tracker:
         if not ok:
             return False
 
-        R, t, obs, n_inl, visible, found = self._track_local_map(
-            self.map, R, t, feats, obs
+        def local_map_with_gates(R0, t0, obs0):
+            """TrackLocalMap + the NeedNewKeyFrame scalar inputs, fetched in
+            ONE device->host transfer (the per-frame sync budget)."""
+            R, t, obs, n_inl, visible, found = self._track_local_map(
+                self.map, R0, t0, feats, obs0
+            )
+            g = steps.keyframe_gates(
+                self.map, jnp.int32(max(self._last_kf_idx, 0)), feats, obs,
+                jnp.float32(self._th_depth), depth=self._depth_mode,
+            )
+            packed = self._fetch(n_inl, g[0], g[1], g[2], g[3])
+            return R, t, obs, visible, found, int(packed[0]), packed[1:]
+
+        R, t, obs, visible, found, n_tracked, gates = local_map_with_gates(
+            R, t, obs
         )
-        n_tracked = int(n_inl)
         # Stricter acceptance right after relocalization (Tracking.cc:1020:
         # < 50 inliers within mMaxFrames of a reloc fails TrackLocalMap).
         thr = (
@@ -613,10 +662,9 @@ class Tracker:
             # the reference, which goes LOST here — Tracking.cc:462).
             ok, R2, t2, obs2 = self._ref_kf_estimate(feats)
             if ok:
-                R, t, obs, n_inl, visible, found = self._track_local_map(
-                    self.map, R2, t2, feats, obs2
+                R, t, obs, visible, found, n_tracked, gates = (
+                    local_map_with_gates(R2, t2, obs2)
                 )
-                n_tracked = int(n_inl)
         if n_tracked < thr:
             return False
 
@@ -632,7 +680,7 @@ class Tracker:
         self._last_obs = obs
         self._frames_since_kf += 1
 
-        if self._need_new_keyframe(n_tracked, frame_id, feats, obs):
+        if self._need_new_keyframe(n_tracked, frame_id, gates):
             self._create_keyframe(feats, obs, R, t, frame_id)
         # Record AFTER any keyframe creation: _create_keyframe refines the
         # pose with local BA and updates _last_R/_last_t; recording the
@@ -641,17 +689,18 @@ class Tracker:
         self._record_pose(frame_id, self._last_R, self._last_t)
         return True
 
-    def _need_new_keyframe(
-        self, n_tracked: int, frame_id: int, feats: FrameFeatures, obs
-    ) -> bool:
+    def _need_new_keyframe(self, n_tracked: int, frame_id: int, gates) -> bool:
         """NeedNewKeyFrame (/root/reference/src/Tracking.cc:1029), full
         policy: post-relocalization gate, mapping-idle condition c1b,
         stereo/RGB-D close-point pressure (bNeedToInsertClose) and weak-
-        tracking c1c, ref-ratio 0.9 mono / 0.75 depth / 0.4 tiny map."""
+        tracking c1c, ref-ratio 0.9 mono / 0.75 depth / 0.4 tiny map.
+
+        `gates` is the pre-fetched (4,) scalar pack from
+        steps.keyframe_gates — no device sync happens here."""
         cfg = self.cfg
         if self.localization_mode:
             return False  # mbOnlyTracking (Tracking.cc:1031)
-        n_kf = int(jnp.sum(self.map.kf_valid))
+        n_kf = int(gates[0])
         # Do not insert right after relocalization on an established map
         # (Tracking.cc:1040-1041).
         if (
@@ -659,21 +708,13 @@ class Tracker:
             and n_kf > cfg.kf_max_frames
         ):
             return False
-        min_obs = 2 if n_kf <= 2 else 3
-        ref_matches = int(
-            steps.tracked_map_points(
-                self.map, jnp.int32(max(self._last_kf_idx, 0)), jnp.float32(min_obs)
-            )
-        )
+        ref_matches = int(gates[1])
         idle = self._mapping_future is None or self._mapping_future.done()
         # Close-point pressure (Tracking.cc:1054-1070): many close depths
         # could become points but few are tracked.
         need_close = False
         if self._depth_mode:
-            close = (feats.depth > 0) & (feats.depth < self._th_depth) & feats.valid
-            tracked_close = int(jnp.sum(close & (obs >= 0)))
-            untracked_close = int(jnp.sum(close & (obs < 0)))
-            need_close = (tracked_close < 100) and (untracked_close > 70)
+            need_close = (gates[2] < 100) and (gates[3] > 70)
         if n_kf < 2:
             th_ref = 0.4
         elif self._depth_mode:
@@ -687,6 +728,11 @@ class Tracker:
         )
         c2 = (n_tracked < th_ref * ref_matches or need_close) and n_tracked > 15
         if not ((c1a or c1b or c1c) and c2):
+            # A keyframe is WANTED but the idle gate blocked c1b: interrupt
+            # the in-flight mapping job (Tracking.cc:1097-1105 InterruptBA)
+            # so it finishes early and the next frame can insert.
+            if not idle and c2 and self._frames_since_kf >= cfg.kf_min_frames:
+                self._mapping_interrupt.set()
             return False
         if idle:
             return True
@@ -694,8 +740,15 @@ class Tracker:
         # insert if the queue holds < 3 keyframes (Tracking.cc:1092-1105);
         # this pipeline's queue is single-slot and _create_keyframe joins
         # the in-flight job (the InterruptBA analog), so depth sensors
-        # proceed and mono waits.
-        return self._depth_mode
+        # proceed. Mono waits one (truncated) job — EXCEPT at the hard
+        # cadence limit c1a: the reference assumes LocalMapping always
+        # keeps up with the frame rate and simply drops the keyframe
+        # (Tracking.cc:1104); when mapping is slower than the camera (host
+        # CPU testing, or a pathological map), dropping forever guarantees
+        # LOST, so the hard limit inserts through the join instead
+        # (documented deviation — bounded wait beats starvation).
+        self._mapping_interrupt.set()
+        return self._depth_mode or c1a
 
     # ------------------------------------------ localization-mode tracking
 
@@ -860,6 +913,7 @@ class Tracker:
 
         m = self._mapping_compute(m, ki_int)
         self.map = m
+        self._apply_pt_remap()
         self._last_kf_idx = ki_int
         self._frames_since_kf = 0
         self._ref_kf_tracked = int(jnp.sum(self.map.kf_obs_pt[ki_int] >= 0))
@@ -891,7 +945,8 @@ class Tracker:
         shared = np.asarray(shared_point_counts(m, anchor))
         slot = min(cands, key=lambda k: (float(shared[k]), int(fid[k])))
         # Parent: most covisible survivor; fall back to the newest survivor.
-        s_row = np.asarray(shared_point_counts(m, slot))
+        # (np.array: np.asarray of a jax array is a read-only view.)
+        s_row = np.array(shared_point_counts(m, slot))
         s_row[slot] = -1.0
         s_row[~valid] = -1.0
         p = int(np.argmax(s_row))
@@ -977,12 +1032,34 @@ class Tracker:
         if self._remote_mapper is not None:
             # Ship the snapshot to the mapping process (blocking IPC on this
             # worker thread; tracking is not blocked).
-            return self._remote_mapper.process(m, ki_int, self._depth_mode), ki_int
+            m2, pt_remap = self._remote_mapper.process(
+                m, ki_int, self._depth_mode
+            )
+            if pt_remap is not None:
+                self._pending_pt_remap = np.asarray(pt_remap)
+            return m2, ki_int
         return self._mapping_compute(m, ki_int), ki_int
+
+    def _apply_pt_remap(self):
+        """Apply a pending point-slot compaction remap to the tracker's own
+        slot references (see _mapping_compute; old slots may immediately be
+        reused by different points, so stale references must be rewritten,
+        not just validity-gated)."""
+        r = self._pending_pt_remap
+        if r is None:
+            return
+        self._pending_pt_remap = None
+        if self._last_obs is not None:
+            obs = np.asarray(self._last_obs)
+            self._last_obs = jnp.asarray(
+                np.where(obs >= 0, r[np.minimum(np.maximum(obs, 0), len(r) - 1)], obs)
+                .astype(np.int32)
+            )
 
     def _adopt_mapping_result(self, result):
         m, ki_int = result
         self.map = m
+        self._apply_pt_remap()
         if ki_int == self._last_kf_idx:
             self._ref_kf_tracked = int(jnp.sum(m.kf_obs_pt[ki_int] >= 0))
         # The motion model was estimated against the pre-BA map; carrying it
@@ -1034,11 +1111,26 @@ class Tracker:
         # (LoopClosing.cc:656-737); here the single mapping worker owns the
         # snapshot, so the merge is race-free by construction.
         m = self._poll_gba(m)
+        # Point-slot recycling: when the watermark nears capacity, compact
+        # culled slots out (the reference's Map deletes culled MapPoints,
+        # Map.cc:45-52; fixed-capacity arrays re-pack instead). Slot indices
+        # change, so any in-flight GBA snapshot is invalidated and the
+        # tracker's own slot references are remapped at adoption.
+        if int(m.n_pt) >= int(0.95 * m.capacity_pt):
+            from tpuslam.mapstate.core import compact_point_slots
+
+            m, remap = compact_point_slots(m)
+            self._pending_pt_remap = np.asarray(remap)
+            self._gba_generation += 1  # index-based GBA snapshot now stale
         # Triangulate new points against the best covisible keyframes
-        # (LocalMapping::CreateNewMapPoints iterates the best covisible
-        # neighbors, LocalMapping.cc:207-244). Falls back to recency while
-        # the new KF has no covisibility edges yet (fresh map).
-        neighbors = self._best_covisible(m, ki_int, 3)
+        # (LocalMapping::CreateNewMapPoints, LocalMapping.cc:207-244: the 10
+        # (stereo) / 20 (mono) best covisible neighbors). Falls back to
+        # recency while the new KF has no covisibility edges yet (fresh map).
+        self._mapping_interrupt.clear()
+        nn_auto = 10 if self._depth_mode else 20
+        neighbors = self._best_covisible(
+            m, ki_int, cfg.tri_neighbors or nn_auto
+        )
         for prev in neighbors:
             (xyz, desc, nvec, min_d, max_d, slot_new, slot_old, good) = (
                 steps.triangulate_new_points(
@@ -1064,13 +1156,48 @@ class Tracker:
         m = steps.cull_map_points(
             m, jnp.int32(ki_int), jnp.float32(2.0 if self._depth_mode else 3.0)
         )
-        # Duplicate-point fusion with the best covisible neighbors
-        # (LocalMapping::SearchInNeighbors).
-        for prev in self._best_covisible(m, ki_int, 3):
+        # Duplicate-point fusion (LocalMapping::SearchInNeighbors,
+        # LocalMapping.cc:454-552): the two-hop target set — nn best
+        # covisible neighbors plus `fuse_second_hop` of each neighbor's own
+        # neighbors — fused in BOTH directions: the new KF's points into
+        # each target (matcher.Fuse(pKFi, vpMapPointMatches), :489) and the
+        # targets' points into the new KF (:514).
+        targets = self._best_covisible(m, ki_int, cfg.fuse_neighbors or nn_auto)
+        ext = list(targets)
+        seen = set(ext) | {ki_int}
+        if cfg.fuse_second_hop > 0:
+            for nb in targets:
+                for nb2 in self._best_covisible(m, nb, cfg.fuse_second_hop):
+                    if nb2 not in seen:
+                        seen.add(nb2)
+                        ext.append(nb2)
+        # Both fuse directions; truncatable on interrupt (fusion pairs are
+        # independent — skipping the tail loses only dedup opportunities,
+        # exactly like the reference's aborted SearchInNeighbors epoch).
+        for prev in ext:
+            if self._mapping_interrupt.is_set():
+                break
             m = steps.fuse_map_points(
                 cfg.cam, m, jnp.int32(ki_int), jnp.int32(prev), self.inv_sigma2,
                 scale_factor=cfg.orb.scale_factor, n_levels=cfg.orb.n_levels,
             )
+        for prev in ext:
+            if self._mapping_interrupt.is_set():
+                break
+            m = steps.fuse_map_points(
+                cfg.cam, m, jnp.int32(prev), jnp.int32(ki_int), self.inv_sigma2,
+                scale_factor=cfg.orb.scale_factor, n_levels=cfg.orb.n_levels,
+            )
+        # Refresh the fused points' representative descriptors
+        # (LocalMapping.cc:541-552 updates every current-KF map point).
+        if ext:
+            cur_obs = m.kf_obs_pt[ki_int]
+            touched = (
+                jnp.zeros((m.capacity_pt,), bool)
+                .at[jnp.maximum(cur_obs, 0)]
+                .set(cur_obs >= 0)
+            )
+            m = compute_point_descriptors(m, touched)
         # Redundant-keyframe culling (LocalMapping::KeyFrameCulling); protect
         # the origin pair, the current KF, and its local (covisible + recent)
         # neighborhood.
@@ -1086,8 +1213,12 @@ class Tracker:
         protect[self._best_covisible(m, ki_int, cfg.local_ba_window)] = True
         m, culled = steps.cull_keyframes(m, jnp.int32(ki_int), jnp.asarray(protect))
         # Local BA around the new keyframe (distributed when a mesh is
-        # configured; see _local_ba).
-        m = self._local_ba(m, ki_int)
+        # configured; see _local_ba), in two abortable chunks — the
+        # reference's mbAbortBA polls inside g2o (Optimizer.cc:65-66);
+        # here the boundary between chunks is the poll point.
+        m = self._local_ba(m, ki_int, iters=4)
+        if not self._mapping_interrupt.is_set():
+            m = self._local_ba(m, ki_int, iters=4)
         m = update_point_normals(m, self.scale_factors)
         # Loop closing on the fresh keyframe (the reference's LoopClosing
         # thread hand-off, LocalMapping.cc:87).
@@ -1251,6 +1382,7 @@ class Tracker:
         # Abort + discard any in-flight global BA (stale generation).
         self._gba_generation += 1
         self._gba_future = None
+        self._pending_pt_remap = None
         self.map = make_empty_map(
             self.cfg.max_keyframes, self.kp_capacity, self.cfg.max_points
         )
@@ -1280,20 +1412,35 @@ class Tracker:
 
     def track_monocular(self, img: jnp.ndarray, frame_id: int):
         """Process one grayscale frame; returns T_cw (R, t) or None."""
-        self.n_frames += 1
-
         if self.state in (TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED):
+            self.n_frames += 1
             self.state = TrackingState.NOT_INITIALIZED
             feats = self._frame_features(img, init=True)
             if self._try_initialize(feats, frame_id):
                 return np.asarray(self._last_R), np.asarray(self._last_t)
             return None
-        feats = self._frame_features(img)
+        return self.track_monocular_features(self._frame_features(img), frame_id)
+
+    def track_monocular_features(self, feats: FrameFeatures, frame_id: int):
+        """track_monocular over precomputed FrameFeatures — the entry the
+        multi-stream front end uses after batching extraction across
+        sessions (pipeline.multi.MultiTracker). Only valid once
+        initialized (the init path extracts at 2x feature budget)."""
+        self.n_frames += 1
 
         if self.state == TrackingState.OK:
             if self._track_frame(feats, frame_id):
                 return np.asarray(self._last_R), np.asarray(self._last_t)
             self.state = TrackingState.LOST
+            # Auto-reset when lost right after initialization (Tracking.cc:
+            # 494-502): a <=5-KF map is not worth relocalizing against —
+            # rebootstrap instead.
+            if (
+                not self.localization_mode
+                and int(np.asarray(self.map.kf_valid).sum()) <= 5
+            ):
+                self.reset()
+                return None
             self._record_pose(frame_id, self._last_R, self._last_t, lost=True)
             return None
 
@@ -1428,6 +1575,11 @@ class Tracker:
         )
         return self._track_with_depth(feats, frame_id)
 
+    def track_depth_features(self, feats: FrameFeatures, frame_id: int):
+        """Stereo/RGB-D tracking over precomputed FrameFeatures (u_right +
+        depth filled) — the multi-stream batched-front-end entry."""
+        return self._track_with_depth(feats, frame_id)
+
     def _track_with_depth(self, feats: FrameFeatures, frame_id: int):
         self.n_frames += 1
         if self.state in (TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED):
@@ -1439,6 +1591,13 @@ class Tracker:
             if self._track_frame(feats, frame_id):
                 return np.asarray(self._last_R), np.asarray(self._last_t)
             self.state = TrackingState.LOST
+            # Auto-reset on a tiny (<=5 KF) map (Tracking.cc:494-502).
+            if (
+                not self.localization_mode
+                and int(np.asarray(self.map.kf_valid).sum()) <= 5
+            ):
+                self.reset()
+                return None
             self._record_pose(frame_id, self._last_R, self._last_t, lost=True)
             return None
         if self._relocalize(feats, frame_id):
