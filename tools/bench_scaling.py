@@ -157,6 +157,11 @@ def main():
     ap.add_argument("--obs-per-kf", type=int, default=2048)
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--shards", default="1,2,4,8")
+    ap.add_argument(
+        "--weak", action="store_true",
+        help="weak scaling: --points PER SHARD (problem grows with N; "
+        "efficiency = t1 / tN at constant per-shard work)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -167,30 +172,50 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     print(f"devices: {len(jax.devices())} ({jax.devices()[0].platform})")
     rng = np.random.default_rng(0)
-    cam, prob = build_problem(rng, args.points, args.kfs, args.obs_per_kf)
-    E = prob.kf.shape[0]
-    print(f"problem: {args.points} pts, {args.kfs} kfs, {E} edges")
+    mode = "weak" if args.weak else "strong"
+    cam = prob = None
+    if not args.weak:
+        cam, prob = build_problem(rng, args.points, args.kfs, args.obs_per_kf)
+        E = prob.kf.shape[0]
+        print(f"problem: {args.points} pts, {args.kfs} kfs, {E} edges")
 
-    results = {}
+    results = {"mode": mode}
     base = None
     for n in [int(x) for x in args.shards.split(",")]:
+        if args.weak:
+            rng = np.random.default_rng(0)
+            cam, prob = build_problem(
+                rng, args.points * n, args.kfs, args.obs_per_kf
+            )
+            print(f"N={n}: weak problem {args.points * n} pts, "
+                  f"{prob.kf.shape[0]} edges")
         ms_per_iter, _ = run_once(cam, prob, n, args.iters)
         coll = collective_report(cam, prob, n, args.iters)
-        eff = (base / ms_per_iter) / 1.0 if base else 1.0
         if base is None:
             base = ms_per_iter
-        results[n] = {
+        if args.weak:
+            eff = round(base / ms_per_iter, 3) if n > 1 else 1.0
+        else:
+            eff = round(base / ms_per_iter / n, 3) if n > 1 else 1.0
+        results[str(n)] = {
             "ms_per_lm_iter": round(ms_per_iter * 1e3, 2),
-            "strong_scaling_efficiency": round(base / ms_per_iter / n, 3)
-            if n > 1 else 1.0,
+            f"{mode}_scaling_efficiency": eff,
             "collective_bytes_per_module": coll,
             "collective_MB_total": round(coll.get("total", 0) / 1e6, 3),
         }
-        print(f"N={n}: {json.dumps(results[n])}", flush=True)
+        print(f"N={n}: {json.dumps(results[str(n)])}", flush=True)
 
     out = os.path.join(ROOT, "tools", "scaling_results.json")
+    prior = {}
+    if os.path.exists(out):
+        try:
+            with open(out) as f:
+                prior = json.load(f)
+        except ValueError:
+            prior = {}
+    prior[mode] = results
     with open(out, "w") as f:
-        json.dump(results, f, indent=2)
+        json.dump(prior, f, indent=2)
     print(f"wrote {out}")
 
 

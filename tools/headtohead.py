@@ -42,6 +42,8 @@ SEQUENCES = [
     ("mono_room_loop", "mono"),
     ("mono_room_sweep", "mono"),
     ("stereo_room_loop", "stereo"),
+    ("mono_room_kidnap", "mono"),
+    ("stereo_room_big", "stereo"),
 ]
 
 
@@ -117,9 +119,17 @@ def run_ours(seq_dir, mode, out_file, max_frames=None):
         sensor,
         orb=settings.orb,
         kf_max_frames=int(settings.fps),
+        # Deterministic keyframe cadence: the reference's c1b inserts only
+        # when LocalMapping is idle (Tracking.cc:1047), which at its
+        # real-time mapping latency spaces keyframes ~0.1-0.2 s apart; the
+        # synchronous pipeline here is always "idle", so the equivalent
+        # spacing is enforced as a minimum frame gap (without it every
+        # c2-frame becomes a keyframe and redundancy culling does all the
+        # work at 10x the mapping cost).
+        kf_min_frames=int(os.environ.get("H2H_KF_MIN", 4)),
         th_depth_factor=settings.th_depth_factor,
         max_keyframes=int(os.environ.get("H2H_MAX_KF", 256)),
-        max_points=int(os.environ.get("H2H_MAX_PT", 60_000)),
+        max_points=int(os.environ.get("H2H_MAX_PT", 24_576)),
         # Sync mapping for the accuracy comparison: every keyframe gets its
         # FULL triangulation/fusion/local-BA before the next frame (the
         # reference's threads keep up at its frame rate; over the tunneled

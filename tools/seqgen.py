@@ -178,6 +178,33 @@ def circle_loop_trajectory(n_frames, radius=1.6, loops=1.0, wobble=0.03,
     return poses
 
 
+def _circle_pose(a, radius, wobble=0.03):
+    Cpos = np.array(
+        [radius * np.cos(a), wobble * np.sin(5 * a), radius * np.sin(a)],
+        np.float32,
+    )
+    fwd = np.array([np.cos(a), 0.0, np.sin(a)], np.float32)  # outward
+    R = look_rotation(fwd)
+    return R.astype(np.float32), (-R @ Cpos).astype(np.float32)
+
+
+def kidnap_trajectory(n_frames, radius=1.6, wobble=0.03):
+    """Kidnapped-robot sequence: map 3/4 of the circle, then TELEPORT back
+    into already-mapped territory and keep going — the tracker must go
+    LOST at the cut and relocalize (Tracking::Relocalization,
+    /root/reference/src/Tracking.cc:1393). Ground truth contains the
+    discontinuity; ATE is evaluated on the per-frame matches."""
+    n1 = int(n_frames * 0.72)
+    n2 = n_frames - n1
+    poses = []
+    for i in range(n1):
+        poses.append(_circle_pose(2 * np.pi * 0.75 * i / n1, radius, wobble))
+    for i in range(n2):
+        a = 2 * np.pi * (0.18 + 0.30 * i / n2)
+        poses.append(_circle_pose(a, radius, wobble))
+    return poses
+
+
 def sweep_trajectory(n_frames, span=2.2, z0=-0.8):
     """Lateral sweep along x and back (no revisit-with-same-heading loop)."""
     poses = []
@@ -272,7 +299,12 @@ def generate_sequence(out_dir, name, kind, n_frames, seed, ssaa=2,
         bf = fx * baseline
         fps = 10.0
         n_features = 2000
-        poses = circle_loop_trajectory(n_frames, radius=1.5, loops=1.08)
+        if "big" in name:
+            # Large closable loop: two full passes of a wider circle
+            # (VERDICT r4 battery).
+            poses = circle_loop_trajectory(n_frames, radius=2.2, loops=2.12)
+        else:
+            poses = circle_loop_trajectory(n_frames, radius=1.5, loops=1.08)
     else:
         W, H = 640, 480
         fx = fy = 517.3
@@ -281,11 +313,12 @@ def generate_sequence(out_dir, name, kind, n_frames, seed, ssaa=2,
         bf = 0.0
         fps = 30.0
         n_features = 1000
-        poses = (
-            circle_loop_trajectory(n_frames, radius=1.6, loops=1.08)
-            if "loop" in name
-            else sweep_trajectory(n_frames)
-        )
+        if "kidnap" in name:
+            poses = kidnap_trajectory(n_frames)
+        elif "loop" in name:
+            poses = circle_loop_trajectory(n_frames, radius=1.6, loops=1.08)
+        else:
+            poses = sweep_trajectory(n_frames)
 
     write_settings_yaml(
         os.path.join(seq, "settings.yaml"), fx, fy, cx, cy, fps, bf, n_features
@@ -346,6 +379,8 @@ def main():
         ("mono_room_loop", "mono", args.frames, 11),
         ("mono_room_sweep", "mono", args.frames, 12),
         ("stereo_room_loop", "stereo", args.stereo_frames, 13),
+        ("mono_room_kidnap", "mono", args.frames, 14),
+        ("stereo_room_big", "stereo", max(args.stereo_frames, 700), 15),
     ]
     for name, kind, n, seed in specs:
         if args.only and args.only != name:

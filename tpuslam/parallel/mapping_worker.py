@@ -16,10 +16,12 @@ arrays) is transport-agnostic by design.
 
 The worker owns the stateful loop-closing context (keyframe database,
 consistency chains — the reference's LoopClosing thread owns these too) and
-runs global BA inline after a loop closure. Consequence, documented: in
-process mode the TRACKER's own BoW relocalization index is not populated
-(it lives in the worker), so relocalization uses the brute-force descriptor
-fallback.
+runs global BA inline after a loop closure. Each job result carries the
+newly computed keyframe BoW rows (and, once, the vocabulary) back to the
+tracker, which mirrors them into its own loop closer so relocalization
+keeps BoW candidates — the reference's Tracking queries the shared
+KeyFrameDatabase (Tracking.cc:1400). InterruptBA rides the same pipe as a
+sideband job-id-tagged "interrupt" frame handled by a reader thread.
 
 Default worker platform is CPU so it never contends for the tracker's TPU
 chip; on a pod, point `platform` at the mapping host's own devices.
@@ -66,6 +68,8 @@ class RemoteMappingWorker:
     returns (MapState, pt_remap-or-None)."""
 
     def __init__(self, tracker_config, platform: str = "cpu"):
+        import threading
+
         env = dict(os.environ)
         env["JAX_PLATFORMS"] = platform
         self._proc = subprocess.Popen(
@@ -75,20 +79,53 @@ class RemoteMappingWorker:
             env=env,
             cwd=os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         )
-        _write_msg(self._proc.stdin, ("init", tracker_config))
+        # stdin is shared by the job writer (mapping thread) and interrupt
+        # sender (tracking thread) — serialize frame writes.
+        self._stdin_lock = threading.Lock()
+        self._job_id = 0
+        with self._stdin_lock:
+            _write_msg(self._proc.stdin, ("init", tracker_config))
         status = _read_msg(self._proc.stdout)
         assert status == "ready", status
 
     def process(self, m, ki_int: int, depth_mode: bool):
         """Run one keyframe's mapping + loop-closing job remotely; returns
-        the new MapState (same pytree type as the input)."""
-        _write_msg(self._proc.stdin, ("map", _map_to_numpy(m), int(ki_int), bool(depth_mode)))
-        kind, payload, pt_remap = _read_msg(self._proc.stdout)
+        (MapState, pt_remap, bow_rows, voc_blob). bow_rows are the worker's
+        newly-computed keyframe BoW vectors (slot, frame_id, words, weights)
+        and voc_blob its vocabulary (shipped once) — fed back so the
+        TRACKER's relocalization keeps BoW candidates even though the
+        keyframe database lives in the worker (the reference's Tracking
+        queries the shared database, Tracking.cc:1400)."""
+        with self._stdin_lock:
+            self._job_id += 1
+            _write_msg(
+                self._proc.stdin,
+                ("map", self._job_id, _map_to_numpy(m), int(ki_int),
+                 bool(depth_mode)),
+            )
+        kind, payload, pt_remap, bow_rows, voc_blob = _read_msg(
+            self._proc.stdout
+        )
         if kind == "err":
             raise RuntimeError(f"mapping worker failed:\n{payload}")
         import jax.numpy as jnp
 
-        return type(m)(*(jnp.asarray(a) for a in payload)), pt_remap
+        return (
+            type(m)(*(jnp.asarray(a) for a in payload)),
+            pt_remap,
+            bow_rows,
+            voc_blob,
+        )
+
+    def interrupt(self):
+        """InterruptBA over IPC (Tracking.cc:1097-1105 -> mbAbortBA): ask
+        the worker to truncate the CURRENT job's optional stages (remaining
+        fusion pairs, the second local-BA chunk). Tagged with the job id so
+        a late interrupt cannot spuriously truncate the next job."""
+        if self._proc.poll() is not None:
+            return
+        with self._stdin_lock:
+            _write_msg(self._proc.stdin, ("interrupt", self._job_id))
 
     def reset(self):
         """Clear the worker's loop-closing state (Tracking::Reset also
@@ -128,35 +165,99 @@ def _worker_main():
     # the loop closer (stateful across jobs), and synchronous inline GBA.
     cfg = dataclasses.replace(cfg, async_mapping=False, mapping_process=False)
     engine = Tracker(cfg)
+    shipped_bow: dict = {}   # slot -> frame id already fed back
+    voc_shipped = [False]
     _write_msg(stdout, "ready")
 
+    # Reader thread: jobs queue up; "interrupt" frames bypass the queue and
+    # set the engine's InterruptBA event mid-job (the IPC form of the
+    # reference's mbAbortBA, polled by _mapping_compute between stages).
+    # Interrupts are job-id-tagged; a stale one (job already finished when
+    # it arrives) is dropped.
+    import queue
+    import threading
+
+    jobs: "queue.Queue" = queue.Queue()
+    current_job = [0]
+
+    def _reader():
+        while True:
+            try:
+                msg = _read_msg(stdin)
+            except EOFError:
+                jobs.put(("close",))
+                return
+            if msg[0] == "interrupt":
+                if msg[1] == current_job[0]:
+                    engine._mapping_interrupt.set()
+                continue
+            jobs.put(msg)
+            if msg[0] == "close":
+                return
+
+    threading.Thread(target=_reader, daemon=True).start()
+
     while True:
-        try:
-            kind, *payload = _read_msg(stdin)
-        except EOFError:
-            break
+        kind, *payload = jobs.get()
         if kind == "close":
             break
         if kind == "reset":
             engine.reset()
+            shipped_bow.clear()
             _write_msg(stdout, "reset-ok")
             continue
-        arrays, ki_int, depth_mode = payload
+        job_id, arrays, ki_int, depth_mode = payload
         try:
             import jax.numpy as jnp
 
             m = type(engine.map)(*(jnp.asarray(a) for a in arrays))
             engine._depth_mode = depth_mode
+            engine._mapping_interrupt.clear()
+            current_job[0] = job_id
             m = engine._mapping_compute(m, ki_int)
+            current_job[0] = 0
             # Point-slot compaction remap (if any) rides back with the
             # snapshot so the tracker can rewrite its slot references.
             remap = engine._pending_pt_remap
             engine._pending_pt_remap = None
-            _write_msg(stdout, ("ok", _map_to_numpy(m), remap))
+            # BoW feedback: ship newly computed keyframe BoW rows (and the
+            # vocabulary, once) so the tracker's relocalization keeps BoW
+            # candidates (VERDICT r3 item 8; Tracking.cc:1400 queries the
+            # shared KeyFrameDatabase).
+            bow_rows = []
+            voc_blob = None
+            lc = engine.loop_closer
+            if lc is not None and lc.voc is not None:
+                fid_np = np.asarray(m.kf_frame_id).astype(np.int64)
+                valid_np = np.asarray(m.kf_valid)
+                for s, bow in lc._bow.items():
+                    f = int(fid_np[s]) if valid_np[s] else -1
+                    if f >= 0 and shipped_bow.get(s) != f:
+                        shipped_bow[s] = f
+                        bow_rows.append(
+                            (int(s), f, np.asarray(bow.words),
+                             np.asarray(bow.weight))
+                        )
+                if not voc_shipped[0] and (bow_rows or lc.db is not None):
+                    voc_shipped[0] = True
+                    voc_blob = {
+                        "k": lc.voc.k,
+                        "levels": lc.voc.levels,
+                        "word_weight": np.asarray(lc.voc.word_weight),
+                        "centers": [np.asarray(c) for c in lc.voc.centers],
+                        "centers_valid": (
+                            None if lc.voc.centers_valid is None else
+                            [np.asarray(v) for v in lc.voc.centers_valid]
+                        ),
+                    }
+            _write_msg(stdout, ("ok", _map_to_numpy(m), remap, bow_rows,
+                                voc_blob))
         except Exception:
+            current_job[0] = 0
             import traceback
 
-            _write_msg(stdout, ("err", traceback.format_exc(), None))
+            _write_msg(stdout, ("err", traceback.format_exc(), None, None,
+                                None))
 
 
 if __name__ == "__main__":

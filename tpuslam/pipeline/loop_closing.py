@@ -584,81 +584,68 @@ class LoopCloser:
         covis_post = covisibility_weights(m)
         covis_post_np = np.asarray(covis_post)
         covis_pre_np = np.asarray(covis)
-        loop_connections = []
-        for a in sorted(group):
-            newly = (covis_post_np[a] >= 15) & (covis_pre_np[a] < 15)
-            for b in np.nonzero(newly)[0]:
-                b = int(b)
-                if b in group or not bool(m.kf_valid[b]):
-                    continue
-                is_loop_pair = a == kf_cur and b == kf_loop
-                if covis_post_np[a, b] < STRONG_COVIS and not is_loop_pair:
-                    continue
-                loop_connections.append((a, b))
+        valid_np = np.asarray(m.kf_valid)
+        group_arr = np.asarray(sorted(group), np.int64)
+        in_group = np.zeros(m.capacity_kf, bool)
+        in_group[group_arr] = True
+        newly = (
+            (covis_post_np[group_arr] >= 15)
+            & (covis_pre_np[group_arr] < 15)
+            & valid_np[None, :]
+            & ~in_group[None, :]
+        )  # (G, K)
+        strong_new = covis_post_np[group_arr] >= STRONG_COVIS
+        is_loop_pair = np.zeros_like(newly)
+        if kf_cur in group:
+            is_loop_pair[int(np.nonzero(group_arr == kf_cur)[0][0]), kf_loop] = True
+        gi, bi = np.nonzero(newly & (strong_new | is_loop_pair))
+        loop_connections = [
+            (int(group_arr[g]), int(b)) for g, b in zip(gi, bi)
+        ]
 
         # Essential-graph edges from PRE-correction poses: spanning tree
         # (sequential parent), strong covisibility, plus the loop edge with
-        # the measured constraint.
-        ei, ej, ms, mR, mt, wgt = [], [], [], [], [], []
+        # the measured constraint. Enumeration is fully vectorized (the
+        # round-3 version was an O(K^2) Python double loop — ~2.4M
+        # iterations per closure at the 1536-KF capacity).
         covis_np = np.asarray(covis)
         # Temporal chain over VALID keyframes in FRAME-ID order (slot order
         # stops tracking time once culled slots are recycled); culled KFs
         # are not graph vertices — their exported poses resolve through
         # their spanning-tree parents, which ARE corrected here.
-        valid_np = np.asarray(m.kf_valid)
         fid_np = np.asarray(m.kf_frame_id)
         order = sorted(np.nonzero(valid_np)[0].tolist(), key=lambda k: int(fid_np[k]))
-        pos = {k: i for i, k in enumerate(order)}
-        for a, b in zip(order[:-1], order[1:]):
-            ei.append(a)
-            ej.append(b)
-            sr, Rr, tr = make_relative(
-                s_old[a], R_old[a], t_old[a], s_old[b], R_old[b], t_old[b]
-            )
-            ms.append(sr)
-            mR.append(Rr)
-            mt.append(tr)
-            wgt.append(1.0)
-        for a in order:
-            for b in order:
-                if pos[b] < pos[a] + 2:
-                    continue  # chain-adjacent (or earlier) pairs
-                if covis_np[a, b] >= STRONG_COVIS:
-                    ei.append(a)
-                    ej.append(b)
-                    sr, Rr, tr = make_relative(
-                        s_old[a], R_old[a], t_old[a], s_old[b], R_old[b], t_old[b]
-                    )
-                    ms.append(sr)
-                    mR.append(Rr)
-                    mt.append(tr)
-                    wgt.append(1.0)
-        # Loop edge: measured S_cur,loop (current = S21 * loop).
-        ei.append(kf_loop)
-        ej.append(kf_cur)
-        ms.append(s21)
-        mR.append(R21)
-        mt.append(t21)
-        wgt.append(1.0)
-        seen_pairs = {(min(a, b), max(a, b)) for a, b in zip(ei, ej)}
+        ov = np.asarray(order, np.int64)
+        npos = len(ov)
+        # Chain edges a->next; then strong-covisibility edges at chain
+        # distance >= 2 (Optimizer.cc:806,952 weight >= 100), from a dense
+        # mask over chain positions.
+        chain_a, chain_b = ov[:-1], ov[1:]
+        pa = np.arange(npos)
+        strong = (
+            (pa[None, :] >= pa[:, None] + 2)
+            & (covis_np[np.ix_(ov, ov)] >= STRONG_COVIS)
+        )
+        sa, sb = np.nonzero(strong)
+        old_a = np.concatenate([chain_a, ov[sa]]).astype(np.int64)
+        old_b = np.concatenate([chain_b, ov[sb]]).astype(np.int64)
+        seen_pairs = {
+            (min(int(a), int(b)), max(int(a), int(b)))
+            for a, b in zip(old_a, old_b)
+        }
+        seen_pairs.add((min(kf_loop, kf_cur), max(kf_loop, kf_cur)))
 
         # New loop connections: measurement from the group-CORRECTED poses
         # (Optimizer.cc:853-870 takes Sji from vScw, which holds CorrectedSim3
         # for the propagated group and identity-scale current poses else).
+        init_a, init_b = [], []
         for a, b in loop_connections:
             key = (min(a, b), max(a, b))
             if key in seen_pairs:
                 continue
             seen_pairs.add(key)
-            sr, Rr, tr = make_relative(
-                s_init[a], R_init[a], t_init[a], s_init[b], R_init[b], t_init[b]
-            )
-            ei.append(a)
-            ej.append(b)
-            ms.append(sr)
-            mR.append(Rr)
-            mt.append(tr)
-            wgt.append(1.0)
+            init_a.append(a)
+            init_b.append(b)
 
         # Persistent loop edges from PRIOR closures (KeyFrame::AddLoopEdge →
         # Optimizer.cc:926-950): measurement re-derived from the CURRENT
@@ -675,27 +662,45 @@ class LoopCloser:
             if key in seen_pairs:
                 continue
             seen_pairs.add(key)
-            sr, Rr, tr = make_relative(
-                s_old[a], R_old[a], t_old[a], s_old[b], R_old[b], t_old[b]
+            old_a = np.append(old_a, a)
+            old_b = np.append(old_b, b)
+
+        # Measurements in TWO batched make_relative calls (one per source
+        # pose set) instead of several jnp dispatches per edge.
+        ia, ib = jnp.asarray(old_a), jnp.asarray(old_b)
+        msA, mRA, mtA = make_relative(
+            s_old[ia], R_old[ia], t_old[ia], s_old[ib], R_old[ib], t_old[ib]
+        )
+        ei = np.concatenate([old_a, [kf_loop]])
+        ej = np.concatenate([old_b, [kf_cur]])
+        ms = jnp.concatenate([msA, jnp.asarray(s21)[None]])
+        mR = jnp.concatenate([mRA, jnp.asarray(R21)[None]])
+        mt = jnp.concatenate([mtA, jnp.asarray(t21)[None]])
+        if init_a:
+            ja, jb = jnp.asarray(np.asarray(init_a)), jnp.asarray(np.asarray(init_b))
+            msB, mRB, mtB = make_relative(
+                s_init[ja], R_init[ja], t_init[ja],
+                s_init[jb], R_init[jb], t_init[jb],
             )
-            ei.append(a)
-            ej.append(b)
-            ms.append(sr)
-            mR.append(Rr)
-            mt.append(tr)
-            wgt.append(1.0)
+            ei = np.concatenate([ei, init_a])
+            ej = np.concatenate([ej, init_b])
+            ms = jnp.concatenate([ms, msB])
+            mR = jnp.concatenate([mR, mRB])
+            mt = jnp.concatenate([mt, mtB])
+        ei = ei.astype(np.int64)
+        ej = ej.astype(np.int64)
 
         # Introspection hook for tests: the slot pairs in this graph.
-        self._last_edge_slots = list(zip(ei, ej))
+        self._last_edge_slots = [(int(a), int(b)) for a, b in zip(ei, ej)]
 
         edges = Sim3Edges(
-            i=jnp.asarray(np.array(ei, np.int32)),
-            j=jnp.asarray(np.array(ej, np.int32)),
-            meas_s=jnp.stack([jnp.asarray(x) for x in ms]),
-            meas_R=jnp.stack(mR),
-            meas_t=jnp.stack(mt),
+            i=jnp.asarray(ei.astype(np.int32)),
+            j=jnp.asarray(ej.astype(np.int32)),
+            meas_s=ms,
+            meas_R=mR,
+            meas_t=mt,
             valid=jnp.ones(len(ei), bool),
-            weight=jnp.asarray(np.array(wgt, np.float32)),
+            weight=jnp.ones((len(ei),), jnp.float32),
         )
         # Dense-vs-CG by LIVE node count, not padded capacity: small sessions
         # compact the live keyframes into a fixed 192-slot problem (one

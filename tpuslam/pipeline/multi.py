@@ -50,6 +50,30 @@ class MultiTracker:
             lambda imgs: extract_orb_batched(imgs, orb0)
         )
 
+        def _stereo_post(fL, fR, imgL, imgR, fx, bf):
+            """Per-stream pyramid + row-banded stereo match, jitted (the
+            eager form dispatched op-by-op per frame and cancelled the
+            batched-front-end win for stereo). fx/bf are traced, so all
+            streams share ONE compiled program."""
+            from tpuslam.ops.image import build_pyramid
+            from tpuslam.ops.stereo import stereo_match
+
+            pyrL = build_pyramid(imgL, orb0.n_levels, orb0.scale_factor)
+            pyrR = build_pyramid(imgR, orb0.n_levels, orb0.scale_factor)
+            u_right, depth, ok = stereo_match(fL, fR, pyrL, pyrR, orb0, fx, bf)
+            n = fL.xy.shape[0]
+            return FrameFeatures(
+                xy=fL.xy,
+                level=fL.level,
+                angle=fL.angle,
+                desc=fL.desc,
+                valid=fL.valid,
+                u_right=jnp.where(ok, u_right, -1.0),
+                depth=jnp.where(ok, depth, 0.0),
+            )
+
+        self._stereo_post = jax.jit(_stereo_post)
+
     @classmethod
     def uniform(cls, config: TrackerConfig, n_streams: int) -> "MultiTracker":
         return cls([dataclasses.replace(config) for _ in range(n_streams)])
@@ -96,10 +120,9 @@ class MultiTracker:
 
     def track_stereo(self, imgs_left, imgs_right, frame_id: int):
         """Stereo batch: all left+right images extracted in ONE 2B-image
-        launch, then per-stream row-banded stereo matching + tracking."""
-        from tpuslam.ops.image import build_pyramid
+        launch, then per-stream jitted row-banded stereo matching +
+        tracking."""
         from tpuslam.ops.orb import ORBFeatures
-        from tpuslam.ops.stereo import stereo_match
 
         imgs_left = jnp.asarray(imgs_left, jnp.float32)
         imgs_right = jnp.asarray(imgs_right, jnp.float32)
@@ -112,20 +135,9 @@ class MultiTracker:
             cfg = tracker.cfg
             fL = ORBFeatures(*(leaf[b] for leaf in fb))
             fR = ORBFeatures(*(leaf[B + b] for leaf in fb))
-            pyrL = build_pyramid(imgs_left[b], cfg.orb.n_levels, cfg.orb.scale_factor)
-            pyrR = build_pyramid(imgs_right[b], cfg.orb.n_levels, cfg.orb.scale_factor)
-            u_right, depth, ok = stereo_match(
-                fL, fR, pyrL, pyrR, cfg.orb, cfg.cam.fx, cfg.cam.bf
-            )
-            n = fL.xy.shape[0]
-            feats = FrameFeatures(
-                xy=fL.xy,
-                level=fL.level,
-                angle=fL.angle,
-                desc=fL.desc,
-                valid=fL.valid,
-                u_right=jnp.where(ok, u_right, -1.0),
-                depth=jnp.where(ok, depth, 0.0),
+            feats = self._stereo_post(
+                fL, fR, imgs_left[b], imgs_right[b],
+                jnp.float32(cfg.cam.fx), jnp.float32(cfg.cam.bf),
             )
             out.append(tracker.track_depth_features(feats, frame_id))
         return out

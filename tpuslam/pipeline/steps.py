@@ -326,7 +326,9 @@ def _optimize_frame_pose(cam, m, cur, obs_pt, R0, t0, inv_sigma2_table):
 
 @partial(
     jax.jit,
-    static_argnames=("cam", "scale_factor", "n_levels", "th", "max_local_pts"),
+    static_argnames=(
+        "cam", "scale_factor", "n_levels", "th", "max_local_pts", "cand_cap"
+    ),
 )
 def track_local_map(
     cam: PinholeCamera,
@@ -341,6 +343,7 @@ def track_local_map(
     th: float = 1.0,
     local_kf_mask: jnp.ndarray | None = None,
     max_local_pts: int = 0,
+    cand_cap: int = 0,
 ):
     """TrackLocalMap (/root/reference/src/Tracking.cc:982): project the
     local map points through the frustum filter (Frame::isInFrustum,
@@ -361,9 +364,36 @@ def track_local_map(
       form that keeps per-frame cost flat as the map grows to KITTI-00
       scale.
 
+    `cand_cap` > 0 additionally compacts the frustum-surviving candidates
+    into a block of that size before descriptor matching (newest-first on
+    overflow), so the O(cands · N) Hamming matrix covers only points that
+    can actually match — the typical visible set is far smaller than the
+    local point set.
+
     Returns (R, t, obs_pt, n_inliers, visible_mask, found_mask); the masks
     are global (P,) for the found/visible bookkeeping.
     """
+    return _track_local_map_core(
+        cam, m, R, t, cur, obs_pt, inv_sigma2_table, scale_factor,
+        n_levels, th, local_kf_mask, max_local_pts, cand_cap,
+    )
+
+
+def _track_local_map_core(
+    cam: PinholeCamera,
+    m: MapState,
+    R: jnp.ndarray,
+    t: jnp.ndarray,
+    cur: FrameFeatures,
+    obs_pt: jnp.ndarray,
+    inv_sigma2_table: jnp.ndarray,
+    scale_factor: float = 1.2,
+    n_levels: int = 8,
+    th: float = 1.0,
+    local_kf_mask: jnp.ndarray | None = None,
+    max_local_pts: int = 0,
+    cand_cap: int = 0,
+):
     P = m.capacity_pt
     subset = local_kf_mask is not None and 0 < max_local_pts < P
     if subset:
@@ -420,15 +450,32 @@ def track_local_map(
         jnp.float32
     )
 
+    # Candidate compaction: only the frustum survivors reach the Hamming
+    # matrix. Newest-first on overflow (freshly triangulated local
+    # structure), re-sorted ascending so duplicate resolution keeps the
+    # dense path's id-order tie-breaking.
+    L0 = ids.shape[0]
+    if 0 < cand_cap < L0:
+        sel_rev = jnp.nonzero(cand[::-1], size=cand_cap, fill_value=L0)[0]
+        pos = jnp.sort(L0 - 1 - sel_rev)  # fill -> -1 first
+        c_live = pos >= 0
+        j = jnp.maximum(pos, 0)
+        c_ids = ids[j]
+        c_uv, c_radius = uv[j], radius[j]
+        c_lvl = pred_lvl[j]
+        c_cand = cand[j] & c_live
+    else:
+        c_ids, c_uv, c_radius, c_lvl, c_cand = ids, uv, radius, pred_lvl, cand
+
     # Keypoints already assigned must not be re-matched.
     kp_taken = obs_pt >= 0
     idx, dmin, ok = search_by_projection_points(
-        uv,
-        m.pt_desc[ids],
-        cand,
-        radius,
-        jnp.maximum(pred_lvl - 1, 0),
-        pred_lvl + 1,
+        c_uv,
+        m.pt_desc[c_ids],
+        c_cand,
+        c_radius,
+        jnp.maximum(c_lvl - 1, 0),
+        c_lvl + 1,
         cur.xy,
         cur.desc,
         cur.level,
@@ -439,7 +486,7 @@ def track_local_map(
         ratio_same_level_only=True,
     )
     obs_pt = obs_pt.at[idx].set(
-        jnp.where(ok & (obs_pt[idx] < 0), ids, obs_pt[idx])
+        jnp.where(ok & (obs_pt[idx] < 0), c_ids, obs_pt[idx])
     )
 
     R, t, obs_pt, n_inl = _optimize_frame_pose(
@@ -689,7 +736,10 @@ def build_local_ba_problem(
     return kfi, jnp.maximum(pti, 0), uvr, has, fixed_kf, fixed_pt
 
 
-@partial(jax.jit, static_argnames=("cam", "window", "iters", "n_levels"))
+@partial(
+    jax.jit,
+    static_argnames=("cam", "window", "iters", "n_levels", "max_edges"),
+)
 def local_bundle_adjustment(
     cam: PinholeCamera,
     m: MapState,
@@ -698,10 +748,18 @@ def local_bundle_adjustment(
     window: int = 8,
     iters: int = 8,
     n_levels: int = 8,
+    max_edges: int = 65536,
 ):
     """Local BA over the center KF's covisibility neighborhood; writes
     optimized poses/points back into the map and invalidates outlier
     observations (Optimizer.cc:659-757).
+
+    The solver runs on a COMPACTED edge set: of the (K, N) possible
+    observation slots only edges that can influence the solution — an end
+    is non-fixed, exactly g2o's active graph (Optimizer.cc:455-504) — are
+    gathered into a `max_edges` block (active-KF edges kept first on
+    overflow). The full (K, N) problem wasted >10x the FLOPs on
+    fixed-fixed edges at KITTI-scale capacities.
 
     Returns the updated MapState.
     """
@@ -712,6 +770,35 @@ def local_bundle_adjustment(
     inv_s2 = inv_sigma2_table[
         jnp.clip(m.kf_kp_level.reshape(-1), 0, inv_sigma2_table.shape[0] - 1)
     ]
+    valid_e = has & m.pt_valid[pti]
+    E = K * N
+    cap = min(max_edges, E) if max_edges else E
+    if cap < E:
+        # An edge matters iff at least one end is adjustable; keep
+        # active-KF edges over boundary edges on overflow (stable sort
+        # preserves slot order within each class).
+        useful = valid_e & (~fixed_kf[kfi] | ~fixed_pt[pti])
+        prio = useful.astype(jnp.int32) * (
+            1 + (~fixed_kf[kfi]).astype(jnp.int32)
+        )
+        sel = jnp.argsort(-prio, stable=True)[:cap]
+        e_live = prio[sel] > 0
+        kfi_c, pti_c = kfi[sel], pti[sel]
+        prob = BAProblem(
+            R=m.kf_R, t=m.kf_t, X=m.pt_xyz,
+            kf=kfi_c, pt=pti_c, uvr=uvr[sel], inv_sigma2=inv_s2[sel],
+            valid=valid_e[sel] & e_live,
+            fixed_kf=fixed_kf, fixed_pt=fixed_pt,
+        )
+        R, t, X, chi2 = bundle_adjustment(
+            cam, prob, iters=iters, use_huber=True
+        )
+        stereo_e = prob.uvr[:, 2] >= 0
+        th = jnp.where(stereo_e, 7.815, 5.991)
+        bad = prob.valid & (chi2 > th)
+        obs = m.kf_obs_pt.reshape(-1)
+        obs = obs.at[sel].set(jnp.where(bad, -1, obs[sel]))
+        return m._replace(kf_R=R, kf_t=t, pt_xyz=X, kf_obs_pt=obs.reshape(K, N))
     prob = BAProblem(
         R=m.kf_R,
         t=m.kf_t,
@@ -720,7 +807,7 @@ def local_bundle_adjustment(
         pt=pti,
         uvr=uvr,
         inv_sigma2=inv_s2,
-        valid=has & m.pt_valid[pti],
+        valid=valid_e,
         fixed_kf=fixed_kf,
         fixed_pt=fixed_pt,
     )
@@ -897,6 +984,234 @@ def fuse_map_points(
     row = row.at[tgt_slot].set(jnp.where(add, repl[p_src], row[tgt_slot]))
     obs = obs.at[kf_nb].set(row)
     return m._replace(kf_obs_pt=obs, pt_valid=pt_valid)
+
+
+# --------------------------------------------------------------------------
+# Fused steady-state frame step: the whole Tracking::Track OK path
+# (/root/reference/src/Tracking.cc:285-528) as ONE jitted program.
+# --------------------------------------------------------------------------
+
+# Packed scalar layout returned by fused_track_frame (see _fused_pack):
+FUSED_ACCEPT = 0      # 1.0 when the frame is accepted (initial ok + TLM >= thr)
+FUSED_INITIAL_OK = 1  # initial pose estimate succeeded
+FUSED_USED_MM = 2     # initial estimate came from the motion model
+FUSED_N_TRACKED = 3   # TrackLocalMap inlier count
+FUSED_GATES = 4       # 4 scalars: keyframe_gates pack
+FUSED_REL = 8         # 12: rel pose vs ref KF (R row-major 9 + t 3)
+FUSED_POSE = 20       # 12: absolute T_cw (R row-major 9 + t 3)
+FUSED_NM = 32         # raw motion-model match count (diagnostics)
+FUSED_LEN = 33
+
+
+def _fused_track_core(
+    cam: PinholeCamera,
+    m: MapState,
+    last_feats: FrameFeatures,
+    last_obs: jnp.ndarray,
+    last_R: jnp.ndarray,
+    last_t: jnp.ndarray,
+    vel_R: jnp.ndarray,
+    vel_t: jnp.ndarray,
+    has_vel: jnp.ndarray,
+    feats: FrameFeatures,
+    ref_kf: jnp.ndarray,
+    inv_sigma2_table: jnp.ndarray,
+    th_depth: jnp.ndarray,
+    accept_thr: jnp.ndarray,
+    scale_factor: float,
+    n_levels: int,
+    min_inliers_motion: int,
+    depth: bool,
+    max_local_pts: int,
+    cand_cap: int,
+):
+    """One-program steady-state tracking step (the reference's whole
+    Tracking::Track OK path, Tracking.cc:327-528):
+
+      motion-model track (th=7, in-graph th=14 retry, Tracking.cc:944)
+      -> ref-KF fallback when the motion model fails (Tracking.cc:337)
+      -> TrackLocalMap (+ covisibility subset on large maps)
+      -> NeedNewKeyFrame scalar gates
+      -> velocity + found/visible bookkeeping + rel-pose vs ref KF,
+
+    all fused so the host pays ONE dispatch and ONE (FUSED_LEN,) scalar
+    fetch per steady-state frame instead of ~15 dispatches + several syncs
+    (the round-3 e2e bottleneck on a tunneled chip).
+    """
+    N = feats.xy.shape[0]
+    ref_c = jnp.maximum(ref_kf, 0)
+
+    pt_idx = last_obs
+    has_pt = (
+        (pt_idx >= 0) & last_feats.valid & m.pt_valid[jnp.maximum(pt_idx, 0)]
+    )
+    Xw_last = m.pt_xyz[jnp.maximum(pt_idx, 0)]
+    R_pred, t_pred = se3_compose(vel_R, vel_t, last_R, last_t)
+
+    def mm_at(th):
+        R, t, tag, _, n_map, _, n_m = track_motion_model_pts(
+            cam, last_feats, Xw_last, pt_idx, has_pt, R_pred, t_pred, feats,
+            inv_sigma2_table, scale_factor=scale_factor, n_levels=n_levels,
+            th=th,
+        )
+        return R, t, jnp.where(tag >= 0, tag, -1), n_map, n_m
+
+    def mm_branch(_):
+        out7 = mm_at(7.0)
+        retry = (out7[4] < 20) | (out7[3] < min_inliers_motion)
+        # Wider-window retry in-graph (Tracking.cc:944: th=2x).
+        return jax.lax.cond(retry, lambda __: mm_at(14.0), lambda __: out7, None)
+
+    def mm_skip(_):
+        return (
+            last_R, last_t, jnp.full((N,), -1, jnp.int32),
+            jnp.int32(0), jnp.int32(0),
+        )
+
+    R_mm, t_mm, obs_mm, ni_mm, nm_mm = jax.lax.cond(
+        has_vel, mm_branch, mm_skip, None
+    )
+    mm_ok = has_vel & (nm_mm >= 20) & (ni_mm >= min_inliers_motion)
+
+    # Reference-keyframe fallback (TrackReferenceKeyFrame, Tracking.cc:809).
+    def ref_branch(_):
+        R, t, obs, n_matches, n_inl = track_reference_keyframe(
+            cam, m, ref_c, feats, last_R, last_t, inv_sigma2_table
+        )
+        return R, t, obs, (n_matches >= 15) & (n_inl >= 10)
+
+    def ref_skip(_):
+        return R_mm, t_mm, obs_mm, jnp.asarray(True)
+
+    R0, t0, obs0, ref_ok = jax.lax.cond(mm_ok, ref_skip, ref_branch, None)
+    initial_ok = mm_ok | ref_ok
+
+    local_kf_mask = None
+    if 0 < max_local_pts < m.capacity_pt:
+        local_kf_mask = local_keyframe_mask(m, obs0, ref_kf=ref_c)
+    R2, t2, obs2, n_inl, visible, found = _track_local_map_core(
+        cam, m, R0, t0, feats, obs0, inv_sigma2_table,
+        scale_factor=scale_factor, n_levels=n_levels,
+        local_kf_mask=local_kf_mask, max_local_pts=max_local_pts,
+        cand_cap=cand_cap,
+    )
+
+    gates = keyframe_gates(m, ref_c, feats, obs2, th_depth, depth=depth)
+    accept = initial_ok & (n_inl >= accept_thr)
+
+    # Bookkeeping, gated in-graph by acceptance.
+    accf = accept.astype(jnp.float32)
+    pt_visible = m.pt_visible + accf * visible.astype(jnp.float32)
+    pt_found = m.pt_found + accf * found.astype(jnp.float32)
+    Rl_inv, tl_inv = se3_inverse(last_R, last_t)
+    vel_R2, vel_t2 = se3_compose(R2, t2, Rl_inv, tl_inv)
+    rel_R, rel_t = se3_compose(
+        R2, t2, *se3_inverse(m.kf_R[ref_c], m.kf_t[ref_c])
+    )
+
+    packed = jnp.concatenate([
+        jnp.stack([
+            accf,
+            initial_ok.astype(jnp.float32),
+            mm_ok.astype(jnp.float32),
+            n_inl.astype(jnp.float32),
+        ]),
+        gates,
+        rel_R.reshape(-1), rel_t,
+        R2.reshape(-1), t2,
+        jnp.stack([nm_mm.astype(jnp.float32)]),
+    ])
+    return R2, t2, obs2, vel_R2, vel_t2, pt_visible, pt_found, packed
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cam", "scale_factor", "n_levels", "min_inliers_motion", "depth",
+        "max_local_pts", "cand_cap",
+    ),
+)
+def fused_track_frame(
+    cam: PinholeCamera,
+    m: MapState,
+    last_feats: FrameFeatures,
+    last_obs: jnp.ndarray,
+    last_R: jnp.ndarray,
+    last_t: jnp.ndarray,
+    vel_R: jnp.ndarray,
+    vel_t: jnp.ndarray,
+    has_vel: jnp.ndarray,
+    feats: FrameFeatures,
+    ref_kf: jnp.ndarray,
+    inv_sigma2_table: jnp.ndarray,
+    th_depth: jnp.ndarray,
+    accept_thr: jnp.ndarray,
+    scale_factor: float = 1.2,
+    n_levels: int = 8,
+    min_inliers_motion: int = 10,
+    depth: bool = False,
+    max_local_pts: int = 0,
+    cand_cap: int = 0,
+):
+    """Fused steady-state frame step over precomputed FrameFeatures (the
+    stereo / RGB-D / multi-stream entry; see _fused_track_core)."""
+    return _fused_track_core(
+        cam, m, last_feats, last_obs, last_R, last_t, vel_R, vel_t, has_vel,
+        feats, ref_kf, inv_sigma2_table, th_depth, accept_thr,
+        scale_factor, n_levels, min_inliers_motion, depth, max_local_pts,
+        cand_cap,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cam", "orb", "min_inliers_motion", "max_local_pts", "cand_cap",
+    ),
+)
+def fused_track_frame_image(
+    cam: PinholeCamera,
+    orb,
+    m: MapState,
+    img: jnp.ndarray,
+    last_feats: FrameFeatures,
+    last_obs: jnp.ndarray,
+    last_R: jnp.ndarray,
+    last_t: jnp.ndarray,
+    vel_R: jnp.ndarray,
+    vel_t: jnp.ndarray,
+    has_vel: jnp.ndarray,
+    ref_kf: jnp.ndarray,
+    inv_sigma2_table: jnp.ndarray,
+    accept_thr: jnp.ndarray,
+    min_inliers_motion: int = 10,
+    max_local_pts: int = 0,
+    cand_cap: int = 0,
+):
+    """Monocular fused frame step FROM THE RAW IMAGE: ORB extraction +
+    undistortion + the whole tracking OK path in one program — one device
+    dispatch per steady-state frame (Frame construction Tracking.cc:274
+    plus Track() :285 fused). Returns (feats, *fused_track_frame outputs).
+    """
+    from tpuslam.geometry.camera import undistort_points
+    from tpuslam.ops.orb import extract_orb
+
+    f = extract_orb(img, orb)
+    xy = f.xy
+    if abs(cam.k1) > 1e-12 or abs(cam.k2) > 1e-12:
+        xy = undistort_points(cam, xy)
+    n = xy.shape[0]
+    feats = FrameFeatures(
+        xy=xy, level=f.level, angle=f.angle, desc=f.desc, valid=f.valid,
+        u_right=jnp.full((n,), -1.0), depth=jnp.zeros((n,)),
+    )
+    out = _fused_track_core(
+        cam, m, last_feats, last_obs, last_R, last_t, vel_R, vel_t, has_vel,
+        feats, ref_kf, inv_sigma2_table, jnp.float32(0.0), accept_thr,
+        orb.scale_factor, orb.n_levels, min_inliers_motion, False,
+        max_local_pts, cand_cap,
+    )
+    return (feats,) + out
 
 
 @jax.jit

@@ -147,6 +147,7 @@ class System:
         from tpuslam.pipeline.tracker import TrackingState
 
         self.tracker.map = load_map(path)
+        self.tracker._n_kf_host = int(self.tracker.map.n_kf)
         self.tracker.localization_mode = localization
         self.tracker.state = TrackingState.LOST
 
@@ -172,6 +173,34 @@ class System:
                 twc = -Rwc @ t
                 q = np.asarray(rotmat_to_quat(jnp.asarray(Rwc)))
                 ts = self._timestamps.get(frame_id, float(frame_id))
+                f.write(
+                    f"{ts:.6f} {twc[0]:.7f} {twc[1]:.7f} {twc[2]:.7f} "
+                    f"{q[0]:.7f} {q[1]:.7f} {q[2]:.7f} {q[3]:.7f}\n"
+                )
+
+    def save_keyframe_trajectory_tum(self, path: str):
+        """KF-only TUM trajectory — the format the reference's monocular
+        drivers actually write (System::SaveKeyFrameTrajectoryTUM,
+        /root/reference/src/System.cc:398): one line per surviving
+        keyframe, sorted by creation order, optimized pose."""
+        tr = self.tracker
+        tr._join_mapping()
+        if tr._gba_future is not None:
+            tr._gba_future.result()
+            tr.map = tr._poll_gba(tr.map)
+        m = tr.map
+        valid = np.asarray(m.kf_valid)
+        fid = np.asarray(m.kf_frame_id)
+        kf_R = np.asarray(m.kf_R)
+        kf_t = np.asarray(m.kf_t)
+        order = np.nonzero(valid)[0]
+        order = order[np.argsort(fid[order])]
+        with open(path, "w") as f:
+            for k in order:
+                Rwc = kf_R[k].T
+                twc = -Rwc @ kf_t[k]
+                q = np.asarray(rotmat_to_quat(jnp.asarray(Rwc)))
+                ts = self._timestamps.get(int(fid[k]), float(fid[k]))
                 f.write(
                     f"{ts:.6f} {twc[0]:.7f} {twc[1]:.7f} {twc[2]:.7f} "
                     f"{q[0]:.7f} {q[1]:.7f} {q[2]:.7f} {q[3]:.7f}\n"

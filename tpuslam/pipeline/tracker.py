@@ -138,8 +138,24 @@ class Tracker:
         self._velocity = None  # (R, t) of T_cur * T_last^-1
         self._frames_since_kf = 0
         self._last_kf_idx = -1
-        self._ref_kf_tracked = 0
         self._key = jax.random.PRNGKey(0)
+        # Host mirror of the keyframe watermark (m.n_kf): keyframe slots are
+        # assigned host-side, so creation never syncs on the device scalar.
+        self._n_kf_host = 0
+        # Host copy of the current pose, refreshed from the fused step's
+        # packed fetch — track_* return it without an extra device sync.
+        self._last_pose_np = None
+        # Dispatch / sync accounting (per-frame budget: 1 fused dispatch +
+        # 1 packed fetch on the steady-state path).
+        self.stats = {
+            "dispatches": 0, "syncs": 0, "fused_frames": 0, "slow_frames": 0
+        }
+        # Per-stage wall-clock telemetry (the reference's only telemetry is
+        # the drivers' median/mean print, mono_tum.cc:116-124; here every
+        # pipeline stage is timed — metrics.report() for the breakdown).
+        from tpuslam.utils.metrics import Metrics
+
+        self.metrics = Metrics()
         # Post-relocalization bookkeeping (mnLastRelocFrameId): gates the
         # ref-KF tracking window, the TrackLocalMap inlier threshold, and
         # keyframe insertion (Tracking.cc:327,1020,1041).
@@ -384,7 +400,7 @@ class Tracker:
         self._velocity = None
         self._last_kf_idx = 1
         self._frames_since_kf = 0
-        self._ref_kf_tracked = int(jnp.sum(obs1 >= 0))
+        self._n_kf_host = 2
         self._record_pose(frame_id, self._last_R, self._last_t)
         return True
 
@@ -463,7 +479,12 @@ class Tracker:
     def _gba_job(self, m_snap: MapState, gen: int, iters: int):
         """Chunked global BA over a map snapshot; aborts between chunks when
         a newer generation supersedes it (the reference's mbStopGBA poll via
-        g2o's force-stop flag, LoopClosing.cc:414-423, Optimizer.cc:65-66)."""
+        g2o's force-stop flag, LoopClosing.cc:414-423, Optimizer.cc:65-66).
+
+        `iters` is rounded UP to a multiple of the chunk size (iters=8 runs
+        10 LM iterations): fixed-size chunks keep ONE compiled trace, and a
+        few extra LM iterations of a converging BA are harmless — callers
+        wanting an exact budget should pass a chunk multiple."""
         chunk = 5
         mm = m_snap
         done = 0
@@ -556,52 +577,22 @@ class Tracker:
         return steps.track_local_map(
             cfg.cam, m, R, t, feats, obs, self.inv_sigma2,
             scale_factor=cfg.orb.scale_factor, n_levels=cfg.orb.n_levels,
-            **kwargs,
+            cand_cap=self._cand_cap(), **kwargs,
         )
+
+    def _cand_cap(self) -> int:
+        """TrackLocalMap candidate-compaction cap: only frustum-surviving
+        points reach the Hamming matrix (steps.track_local_map cand_cap).
+        Sized to half the local subset — the visible fraction of the local
+        point set is far smaller in practice."""
+        cap = self._local_subset_cap() or self.map.capacity_pt
+        return min(8192, cap) if cap > 4096 else 0
 
     def _predict_pose(self):
         if self._velocity is not None:
             Rv, tv = self._velocity
             return se3_compose(Rv, tv, self._last_R, self._last_t)
         return self._last_R, self._last_t
-
-    def _initial_pose_estimate(self, feats: FrameFeatures, frame_id: int):
-        """Initial camera pose (Tracking::Track, /root/reference/src/
-        Tracking.cc:327-338): motion model when a velocity exists and we are
-        not fresh out of relocalization; TrackReferenceKeyFrame otherwise,
-        and as the fallback when the motion model fails.
-
-        Returns (ok, R, t, obs, used_motion_model)."""
-        cfg = self.cfg
-        use_ref_only = (
-            self._velocity is None or frame_id < self._last_reloc_frame_id + 2
-        )
-        if not use_ref_only:
-            R_pred, t_pred = self._predict_pose()
-            R, t, obs, n_inl, n_matches = steps.track_motion_model(
-                cfg.cam, self.map, self._last_feats, self._last_obs,
-                R_pred, t_pred, feats, self.inv_sigma2,
-                scale_factor=cfg.orb.scale_factor, n_levels=cfg.orb.n_levels,
-                th=7.0,
-            )
-            nm, ni = self._fetch(n_matches, n_inl)  # one transfer
-            if nm < 20 or ni < cfg.min_inliers_motion:
-                # Wider window retry (Tracking.cc:944: th=2x retry).
-                R, t, obs, n_inl, n_matches = steps.track_motion_model(
-                    cfg.cam, self.map, self._last_feats, self._last_obs,
-                    R_pred, t_pred, feats, self.inv_sigma2,
-                    scale_factor=cfg.orb.scale_factor, n_levels=cfg.orb.n_levels,
-                    th=14.0,
-                )
-                nm, ni = self._fetch(n_matches, n_inl)
-            # The reference demands >= 20 raw matches BEFORE trusting the
-            # optimization (Tracking.cc:944-947): a handful of aliased
-            # window matches can "converge" with 10+ inliers at a wildly
-            # wrong pose, and only the match-count gate catches it.
-            if nm >= 20 and ni >= cfg.min_inliers_motion:
-                return True, R, t, obs, True
-        ok, R, t, obs = self._ref_kf_estimate(feats)
-        return ok, R, t, obs, False
 
     def _ref_kf_estimate(self, feats: FrameFeatures):
         """TrackReferenceKeyFrame (Tracking.cc:809): BoW-style descriptor
@@ -621,73 +612,155 @@ class Tracker:
             return False, None, None, None
         return True, R, t, obs
 
-    def _track_frame(self, feats: FrameFeatures, frame_id: int) -> bool:
+    def _accept_thr(self, frame_id: int) -> int:
+        """TrackLocalMap acceptance threshold; stricter right after
+        relocalization (Tracking.cc:1020: < 50 inliers within mMaxFrames of
+        a reloc fails TrackLocalMap)."""
+        cfg = self.cfg
+        if frame_id < self._last_reloc_frame_id + cfg.kf_max_frames:
+            return max(cfg.min_inliers_ok, 50)
+        return cfg.min_inliers_ok
+
+    def _local_subset_cap(self) -> int:
+        cfg = self.cfg
+        cap = cfg.local_map_max_pts or (
+            16384 if self.map.capacity_pt > 16384 else 0
+        )
+        return cap if 0 < cap < self.map.capacity_pt else 0
+
+    def _track_frame(self, feats: FrameFeatures, frame_id: int,
+                     img: Optional[jnp.ndarray] = None) -> bool:
+        """Steady-state OK-path frame: ONE fused jitted dispatch + ONE
+        packed scalar fetch (steps.fused_track_frame; the whole
+        Tracking::Track OK path, /root/reference/src/Tracking.cc:327-528).
+        Rare failures fall back to multi-dispatch slow paths.
+
+        `img` (mono only): fuse ORB extraction + undistortion into the same
+        program (`feats` is then ignored and produced by the device)."""
         cfg = self.cfg
         # Adopt any finished background mapping result (snapshot swap).
         self._poll_mapping()
         if self.localization_mode and self._depth_mode:
             return self._track_frame_localization(feats, frame_id)
-        ok, R, t, obs, used_mm = self._initial_pose_estimate(feats, frame_id)
-        if not ok:
-            return False
-
-        def local_map_with_gates(R0, t0, obs0):
-            """TrackLocalMap + the NeedNewKeyFrame scalar inputs, fetched in
-            ONE device->host transfer (the per-frame sync budget)."""
-            R, t, obs, n_inl, visible, found = self._track_local_map(
-                self.map, R0, t0, feats, obs0
-            )
-            g = steps.keyframe_gates(
-                self.map, jnp.int32(max(self._last_kf_idx, 0)), feats, obs,
-                jnp.float32(self._th_depth), depth=self._depth_mode,
-            )
-            packed = self._fetch(n_inl, g[0], g[1], g[2], g[3])
-            return R, t, obs, visible, found, int(packed[0]), packed[1:]
-
-        R, t, obs, visible, found, n_tracked, gates = local_map_with_gates(
-            R, t, obs
+        thr = self._accept_thr(frame_id)
+        # Right after relocalization the velocity is distrusted and tracking
+        # goes through the reference keyframe (Tracking.cc:327-338).
+        has_vel = (
+            self._velocity is not None
+            and frame_id >= self._last_reloc_frame_id + 2
         )
-        # Stricter acceptance right after relocalization (Tracking.cc:1020:
-        # < 50 inliers within mMaxFrames of a reloc fails TrackLocalMap).
-        thr = (
-            max(cfg.min_inliers_ok, 50)
-            if frame_id < self._last_reloc_frame_id + cfg.kf_max_frames
-            else cfg.min_inliers_ok
+        vel_R, vel_t = self._velocity if has_vel else (jnp.eye(3), jnp.zeros(3))
+        common = dict(
+            min_inliers_motion=cfg.min_inliers_motion,
+            max_local_pts=self._local_subset_cap(),
+            cand_cap=self._cand_cap(),
         )
-        if n_tracked < thr and used_mm:
-            # A corrupted velocity can clear the motion-model gates on a few
-            # aliased matches yet land at a wildly wrong pose that
-            # TrackLocalMap rejects; retry the frame through the reference-
-            # keyframe path before declaring LOST (robustness addition over
-            # the reference, which goes LOST here — Tracking.cc:462).
+        import time as _time
+
+        _t_disp = _time.perf_counter()
+        if img is not None:
+            out = steps.fused_track_frame_image(
+                cfg.cam, cfg.orb, self.map, img,
+                self._last_feats, self._last_obs, self._last_R, self._last_t,
+                vel_R, vel_t, jnp.asarray(has_vel),
+                jnp.int32(max(self._last_kf_idx, 0)), self.inv_sigma2,
+                jnp.float32(thr), **common,
+            )
+            feats = out[0]
+            out = out[1:]
+        else:
+            out = steps.fused_track_frame(
+                cfg.cam, self.map, self._last_feats, self._last_obs,
+                self._last_R, self._last_t, vel_R, vel_t,
+                jnp.asarray(has_vel), feats,
+                jnp.int32(max(self._last_kf_idx, 0)), self.inv_sigma2,
+                jnp.float32(self._th_depth), jnp.float32(thr),
+                scale_factor=cfg.orb.scale_factor, n_levels=cfg.orb.n_levels,
+                depth=self._depth_mode, **common,
+            )
+        self.metrics.timer.samples["track.dispatch"].append(
+            _time.perf_counter() - _t_disp
+        )
+        R, t, obs, vel_R2, vel_t2, pt_visible, pt_found, packed = out
+        self.stats["dispatches"] += 1
+        with self.metrics.stage("track.fetch"):
+            p = np.asarray(packed)  # THE per-frame device->host sync
+        self.stats["syncs"] += 1
+        accept = p[steps.FUSED_ACCEPT] > 0.5
+        used_mm = p[steps.FUSED_USED_MM] > 0.5
+
+        if accept:
+            self.stats["fused_frames"] += 1
+            self.map = self.map._replace(
+                pt_visible=pt_visible, pt_found=pt_found
+            )
+            self._velocity = (vel_R2, vel_t2)
+            self._last_R, self._last_t = R, t
+            self._last_feats = feats
+            self._last_obs = obs
+            self._frames_since_kf += 1
+            n_tracked = int(p[steps.FUSED_N_TRACKED])
+            gates = p[steps.FUSED_GATES:steps.FUSED_GATES + 4]
+            if self._need_new_keyframe(n_tracked, frame_id, gates):
+                self._create_keyframe(feats, obs, R, t, frame_id)
+                self._last_pose_np = None
+                # Record AFTER keyframe creation: sync-mode mapping refines
+                # the pose with local BA and updates _last_R/_last_t.
+                self._record_pose(frame_id, self._last_R, self._last_t)
+            else:
+                # Trajectory entry straight from the packed fetch — no
+                # extra device sync (System::SaveTrajectoryTUM stores the
+                # same KF-relative pose, System.cc:337-396).
+                o = steps.FUSED_REL
+                rel_R = p[o:o + 9].reshape(3, 3).astype(np.float64)
+                rel_t = p[o + 9:o + 12].astype(np.float64)
+                self.trajectory.append(
+                    (frame_id, self._last_kf_idx, rel_R, rel_t, False)
+                )
+                o = steps.FUSED_POSE
+                self._last_pose_np = (
+                    p[o:o + 9].reshape(3, 3), p[o + 9:o + 12]
+                )
+            return True
+
+        if used_mm:
+            # The motion model cleared its gates on a few aliased matches
+            # yet landed at a pose TrackLocalMap rejects; retry the frame
+            # through the reference-keyframe path before declaring LOST
+            # (robustness addition over the reference, which goes LOST
+            # here — Tracking.cc:462).
+            self.stats["slow_frames"] += 1
             ok, R2, t2, obs2 = self._ref_kf_estimate(feats)
             if ok:
-                R, t, obs, visible, found, n_tracked, gates = (
-                    local_map_with_gates(R2, t2, obs2)
+                R, t, obs, n_inl, visible, found = self._track_local_map(
+                    self.map, R2, t2, feats, obs2
                 )
-        if n_tracked < thr:
-            return False
-
-        # Bookkeeping.
-        self.map = self.map._replace(
-            pt_visible=self.map.pt_visible + visible.astype(jnp.float32),
-            pt_found=self.map.pt_found + found.astype(jnp.float32),
-        )
-        Rl_inv, tl_inv = se3_inverse(self._last_R, self._last_t)
-        self._velocity = se3_compose(R, t, Rl_inv, tl_inv)
-        self._last_R, self._last_t = R, t
-        self._last_feats = feats
-        self._last_obs = obs
-        self._frames_since_kf += 1
-
-        if self._need_new_keyframe(n_tracked, frame_id, gates):
-            self._create_keyframe(feats, obs, R, t, frame_id)
-        # Record AFTER any keyframe creation: _create_keyframe refines the
-        # pose with local BA and updates _last_R/_last_t; recording the
-        # pre-BA pose against the post-BA reference KF would inject a
-        # discontinuity into the exported trajectory.
-        self._record_pose(frame_id, self._last_R, self._last_t)
-        return True
+                g = steps.keyframe_gates(
+                    self.map, jnp.int32(max(self._last_kf_idx, 0)), feats,
+                    obs, jnp.float32(self._th_depth), depth=self._depth_mode,
+                )
+                packed2 = self._fetch(n_inl, g[0], g[1], g[2], g[3])
+                n_tracked = int(packed2[0])
+                if n_tracked >= thr:
+                    self.map = self.map._replace(
+                        pt_visible=self.map.pt_visible
+                        + visible.astype(jnp.float32),
+                        pt_found=self.map.pt_found + found.astype(jnp.float32),
+                    )
+                    Rl_inv, tl_inv = se3_inverse(self._last_R, self._last_t)
+                    self._velocity = se3_compose(R, t, Rl_inv, tl_inv)
+                    self._last_R, self._last_t = R, t
+                    self._last_feats = feats
+                    self._last_obs = obs
+                    self._frames_since_kf += 1
+                    self._last_pose_np = None
+                    if self._need_new_keyframe(n_tracked, frame_id, packed2[1:]):
+                        self._create_keyframe(feats, obs, R, t, frame_id)
+                    self._record_pose(
+                        frame_id, self._last_R, self._last_t
+                    )
+                    return True
+        return False
 
     def _need_new_keyframe(self, n_tracked: int, frame_id: int, gates) -> bool:
         """NeedNewKeyFrame (/root/reference/src/Tracking.cc:1029), full
@@ -732,7 +805,7 @@ class Tracker:
             # the in-flight mapping job (Tracking.cc:1097-1105 InterruptBA)
             # so it finishes early and the next frame can insert.
             if not idle and c2 and self._frames_since_kf >= cfg.kf_min_frames:
-                self._mapping_interrupt.set()
+                self._signal_mapping_interrupt()
             return False
         if idle:
             return True
@@ -747,8 +820,17 @@ class Tracker:
         # CPU testing, or a pathological map), dropping forever guarantees
         # LOST, so the hard limit inserts through the join instead
         # (documented deviation — bounded wait beats starvation).
-        self._mapping_interrupt.set()
+        self._signal_mapping_interrupt()
         return self._depth_mode or c1a
+
+    def _signal_mapping_interrupt(self):
+        """InterruptBA (Tracking.cc:1097-1105): truncate the in-flight
+        mapping job's optional stages. In mapping_process mode the event
+        lives in the worker process, so it is forwarded over IPC
+        (RemoteMappingWorker.interrupt)."""
+        self._mapping_interrupt.set()
+        if self._remote_mapper is not None:
+            self._remote_mapper.interrupt()
 
     # ------------------------------------------ localization-mode tracking
 
@@ -885,15 +967,19 @@ class Tracker:
         # previous result before inserting on top of it.
         self._join_mapping()
         slot = None
-        if int(self.map.n_kf) >= self.map.capacity_kf:
+        if self._n_kf_host >= self.map.capacity_kf:
             slot = self._recycle_kf_slot()
             if slot is None:
                 return  # full, nothing recyclable
-        m, ki = insert_keyframe(self.map, feats, R, t, frame_id, obs, slot=slot)
-        ki_int = int(ki)
+        # The slot is known host-side (watermark mirror or recycled slot),
+        # so keyframe creation never syncs on a device scalar.
+        ki_int = self._n_kf_host if slot is None else slot
+        m, _ = insert_keyframe(self.map, feats, R, t, frame_id, obs, slot=slot)
+        if slot is None:
+            self._n_kf_host += 1
         # Stereo/RGB-D: densify with close depth points
         # (Tracking::CreateNewKeyFrame stereo path, Tracking.cc:1115-1186).
-        if bool(jnp.any(feats.depth > 0)):
+        if self._depth_mode:
             m = self._add_depth_points(m, ki_int, feats, R, t)
 
         if self._mapping_pool is not None:
@@ -905,7 +991,6 @@ class Tracker:
             self.map = m
             self._last_kf_idx = ki_int
             self._frames_since_kf = 0
-            self._ref_kf_tracked = int(jnp.sum(m.kf_obs_pt[ki_int] >= 0))
             self._mapping_future = self._mapping_pool.submit(
                 self._mapping_job, m, ki_int
             )
@@ -916,7 +1001,6 @@ class Tracker:
         self._apply_pt_remap()
         self._last_kf_idx = ki_int
         self._frames_since_kf = 0
-        self._ref_kf_tracked = int(jnp.sum(self.map.kf_obs_pt[ki_int] >= 0))
         # Keep the tracker's pose in sync with the BA-refined keyframe.
         self._last_R = self.map.kf_R[ki_int]
         self._last_t = self.map.kf_t[ki_int]
@@ -1032,13 +1116,53 @@ class Tracker:
         if self._remote_mapper is not None:
             # Ship the snapshot to the mapping process (blocking IPC on this
             # worker thread; tracking is not blocked).
-            m2, pt_remap = self._remote_mapper.process(
+            m2, pt_remap, bow_rows, voc_blob = self._remote_mapper.process(
                 m, ki_int, self._depth_mode
             )
             if pt_remap is not None:
                 self._pending_pt_remap = np.asarray(pt_remap)
+            self._apply_bow_feedback(bow_rows, voc_blob)
             return m2, ki_int
         return self._mapping_compute(m, ki_int), ki_int
+
+    def _apply_bow_feedback(self, bow_rows, voc_blob):
+        """Mirror the mapping worker's keyframe BoW rows into the tracker's
+        own loop closer so relocalization keeps BoW candidates in
+        mapping_process mode (the reference's Tracking queries the shared
+        KeyFrameDatabase, /root/reference/src/Tracking.cc:1400 ->
+        KeyFrameDatabase.cc:199). The worker ships its vocabulary once, so
+        both sides transform descriptors identically even when the
+        vocabulary was trained on the fly."""
+        lc = self.loop_closer
+        if lc is None or (not bow_rows and voc_blob is None):
+            return
+        if voc_blob is not None and lc.voc is None:
+            from tpuslam.place.vocabulary import Vocabulary
+
+            lc.voc = Vocabulary(
+                centers=tuple(jnp.asarray(c) for c in voc_blob["centers"]),
+                word_weight=jnp.asarray(voc_blob["word_weight"]),
+                k=voc_blob["k"],
+                levels=voc_blob["levels"],
+                centers_valid=(
+                    None if voc_blob["centers_valid"] is None else
+                    tuple(jnp.asarray(v) for v in voc_blob["centers_valid"])
+                ),
+            )
+            lc._tried_default = True
+        if lc.voc is None or not bow_rows:
+            return
+        from tpuslam.place.database import SparseBow, SparseKeyFrameDatabase
+
+        if lc.db is None:
+            lc.db = SparseKeyFrameDatabase(
+                lc.voc.n_words, lc.max_keyframes, bow_rows[0][2].shape[0]
+            )
+        for slot, fid, words, weight in bow_rows:
+            bow = SparseBow(jnp.asarray(words), jnp.asarray(weight))
+            lc._bow[slot] = bow
+            lc.db.add(slot, bow)
+            lc._slot_fid[slot] = fid
 
     def _apply_pt_remap(self):
         """Apply a pending point-slot compaction remap to the tracker's own
@@ -1060,8 +1184,9 @@ class Tracker:
         m, ki_int = result
         self.map = m
         self._apply_pt_remap()
-        if ki_int == self._last_kf_idx:
-            self._ref_kf_tracked = int(jnp.sum(m.kf_obs_pt[ki_int] >= 0))
+        # The job this interrupt targeted is over (remote jobs poll their
+        # own event, forwarded by _signal_mapping_interrupt).
+        self._mapping_interrupt.clear()
         # The motion model was estimated against the pre-BA map; carrying it
         # across the snapshot swap compounds the BA correction into the
         # prediction and diverges. Re-estimate from scratch next frame (the
@@ -1104,7 +1229,20 @@ class Tracker:
     def _mapping_compute(self, m, ki_int):
         """The LocalMapping + LoopClosing work for one new keyframe, as a
         pure snapshot -> snapshot function (runs on the worker thread in
-        async mode)."""
+        async mode). Set TPUSLAM_STAGE_SYNC=1 to block per stage so
+        metrics.report() attributes device time to the right stage."""
+        import contextlib
+        import os as _os
+
+        _sync = _os.environ.get("TPUSLAM_STAGE_SYNC")
+
+        @contextlib.contextmanager
+        def _stage(name):
+            with self.metrics.stage("map." + name):
+                yield
+                if _sync:
+                    jax.block_until_ready(m.kf_R)
+
         cfg = self.cfg
         # Adopt a finished (non-superseded) global BA first — the reference
         # applies GBA results under the map lock with LocalMapping stopped
@@ -1128,108 +1266,132 @@ class Tracker:
         # recency while the new KF has no covisibility edges yet (fresh map).
         self._mapping_interrupt.clear()
         nn_auto = 10 if self._depth_mode else 20
-        neighbors = self._best_covisible(
-            m, ki_int, cfg.tri_neighbors or nn_auto
-        )
-        for prev in neighbors:
-            (xyz, desc, nvec, min_d, max_d, slot_new, slot_old, good) = (
-                steps.triangulate_new_points(
-                    cfg.cam, m, jnp.int32(ki_int), jnp.int32(prev), self.inv_sigma2,
-                    scale_factor=cfg.orb.scale_factor, n_levels=cfg.orb.n_levels,
+        with _stage("triangulate"):
+            neighbors = self._best_covisible(
+                m, ki_int, cfg.tri_neighbors or nn_auto
+            )
+            for prev in neighbors:
+                (xyz, desc, nvec, min_d, max_d, slot_new, slot_old, good) = (
+                    steps.triangulate_new_points(
+                        cfg.cam, m, jnp.int32(ki_int), jnp.int32(prev),
+                        self.inv_sigma2,
+                        scale_factor=cfg.orb.scale_factor,
+                        n_levels=cfg.orb.n_levels,
+                    )
                 )
-            )
-            m, slots = insert_points(m, xyz, desc, ki_int, good, nvec, min_d, max_d)
-            created = good & (slots >= 0)
-            # Register observations in both keyframes.
-            obs_new = m.kf_obs_pt[ki_int].at[slot_new].set(
-                jnp.where(created, slots, m.kf_obs_pt[ki_int][slot_new])
-            )
-            obs_old = m.kf_obs_pt[prev].at[slot_old].set(
-                jnp.where(created, slots, m.kf_obs_pt[prev][slot_old])
-            )
-            m = m._replace(
-                kf_obs_pt=m.kf_obs_pt.at[ki_int].set(obs_new).at[prev].set(obs_old)
-            )
+                m, slots = insert_points(
+                    m, xyz, desc, ki_int, good, nvec, min_d, max_d
+                )
+                created = good & (slots >= 0)
+                # Register observations in both keyframes.
+                obs_new = m.kf_obs_pt[ki_int].at[slot_new].set(
+                    jnp.where(created, slots, m.kf_obs_pt[ki_int][slot_new])
+                )
+                obs_old = m.kf_obs_pt[prev].at[slot_old].set(
+                    jnp.where(created, slots, m.kf_obs_pt[prev][slot_old])
+                )
+                m = m._replace(
+                    kf_obs_pt=m.kf_obs_pt.at[ki_int].set(obs_new).at[prev].set(obs_old)
+                )
         # Recent-point culling (LocalMapping::MapPointCulling): a mono point
         # must reach 3 keyframes within 2 KFs of creation, stereo/RGB-D 2
         # (reference cnThObs with stereo observations counting double).
-        m = steps.cull_map_points(
-            m, jnp.int32(ki_int), jnp.float32(2.0 if self._depth_mode else 3.0)
-        )
+        with _stage("cull_points"):
+            m = steps.cull_map_points(
+                m, jnp.int32(ki_int),
+                jnp.float32(2.0 if self._depth_mode else 3.0),
+            )
         # Duplicate-point fusion (LocalMapping::SearchInNeighbors,
         # LocalMapping.cc:454-552): the two-hop target set — nn best
         # covisible neighbors plus `fuse_second_hop` of each neighbor's own
         # neighbors — fused in BOTH directions: the new KF's points into
         # each target (matcher.Fuse(pKFi, vpMapPointMatches), :489) and the
         # targets' points into the new KF (:514).
-        targets = self._best_covisible(m, ki_int, cfg.fuse_neighbors or nn_auto)
-        ext = list(targets)
-        seen = set(ext) | {ki_int}
-        if cfg.fuse_second_hop > 0:
-            for nb in targets:
-                for nb2 in self._best_covisible(m, nb, cfg.fuse_second_hop):
-                    if nb2 not in seen:
-                        seen.add(nb2)
-                        ext.append(nb2)
-        # Both fuse directions; truncatable on interrupt (fusion pairs are
-        # independent — skipping the tail loses only dedup opportunities,
-        # exactly like the reference's aborted SearchInNeighbors epoch).
-        for prev in ext:
-            if self._mapping_interrupt.is_set():
-                break
-            m = steps.fuse_map_points(
-                cfg.cam, m, jnp.int32(ki_int), jnp.int32(prev), self.inv_sigma2,
-                scale_factor=cfg.orb.scale_factor, n_levels=cfg.orb.n_levels,
+        with _stage("fuse"):
+            targets = self._best_covisible(
+                m, ki_int, cfg.fuse_neighbors or nn_auto
             )
-        for prev in ext:
-            if self._mapping_interrupt.is_set():
-                break
-            m = steps.fuse_map_points(
-                cfg.cam, m, jnp.int32(prev), jnp.int32(ki_int), self.inv_sigma2,
-                scale_factor=cfg.orb.scale_factor, n_levels=cfg.orb.n_levels,
-            )
+            ext = list(targets)
+            seen = set(ext) | {ki_int}
+            if cfg.fuse_second_hop > 0:
+                for nb in targets:
+                    for nb2 in self._best_covisible(m, nb, cfg.fuse_second_hop):
+                        if nb2 not in seen:
+                            seen.add(nb2)
+                            ext.append(nb2)
+            # Both fuse directions; truncatable on interrupt (fusion pairs
+            # are independent — skipping the tail loses only dedup
+            # opportunities, exactly like the reference's aborted
+            # SearchInNeighbors epoch).
+            for prev in ext:
+                if self._mapping_interrupt.is_set():
+                    break
+                m = steps.fuse_map_points(
+                    cfg.cam, m, jnp.int32(ki_int), jnp.int32(prev),
+                    self.inv_sigma2,
+                    scale_factor=cfg.orb.scale_factor,
+                    n_levels=cfg.orb.n_levels,
+                )
+            for prev in ext:
+                if self._mapping_interrupt.is_set():
+                    break
+                m = steps.fuse_map_points(
+                    cfg.cam, m, jnp.int32(prev), jnp.int32(ki_int),
+                    self.inv_sigma2,
+                    scale_factor=cfg.orb.scale_factor,
+                    n_levels=cfg.orb.n_levels,
+                )
         # Refresh the fused points' representative descriptors
         # (LocalMapping.cc:541-552 updates every current-KF map point).
         if ext:
-            cur_obs = m.kf_obs_pt[ki_int]
-            touched = (
-                jnp.zeros((m.capacity_pt,), bool)
-                .at[jnp.maximum(cur_obs, 0)]
-                .set(cur_obs >= 0)
-            )
-            m = compute_point_descriptors(m, touched)
+            with _stage("desc_refresh"):
+                cur_obs = m.kf_obs_pt[ki_int]
+                # Scatter only the True entries (unmatched slots park in a
+                # scratch row): mixed True/False scatters to duplicate
+                # indices have undefined order, which could skip slot 0.
+                touched = (
+                    jnp.zeros((m.capacity_pt + 1,), bool)
+                    .at[jnp.where(cur_obs >= 0, cur_obs, m.capacity_pt)]
+                    .set(True)[: m.capacity_pt]
+                )
+                m = compute_point_descriptors(m, touched)
         # Redundant-keyframe culling (LocalMapping::KeyFrameCulling); protect
         # the origin pair, the current KF, and its local (covisible + recent)
         # neighborhood.
-        protect = np.zeros(m.capacity_kf, bool)
-        protect[:2] = True
-        protect[ki_int] = True
-        # Recent window by frame id (slot order stops tracking time once
-        # culled slots are recycled).
-        fids = np.asarray(m.kf_frame_id).copy()
-        fids[~np.asarray(m.kf_valid)] = -1
-        recent = np.argsort(-fids)[: cfg.local_ba_window]
-        protect[[int(k) for k in recent if fids[k] >= 0]] = True
-        protect[self._best_covisible(m, ki_int, cfg.local_ba_window)] = True
-        m, culled = steps.cull_keyframes(m, jnp.int32(ki_int), jnp.asarray(protect))
+        with _stage("cull_kfs"):
+            protect = np.zeros(m.capacity_kf, bool)
+            protect[:2] = True
+            protect[ki_int] = True
+            # Recent window by frame id (slot order stops tracking time
+            # once culled slots are recycled).
+            fids = np.asarray(m.kf_frame_id).copy()
+            fids[~np.asarray(m.kf_valid)] = -1
+            recent = np.argsort(-fids)[: cfg.local_ba_window]
+            protect[[int(k) for k in recent if fids[k] >= 0]] = True
+            protect[self._best_covisible(m, ki_int, cfg.local_ba_window)] = True
+            m, culled = steps.cull_keyframes(
+                m, jnp.int32(ki_int), jnp.asarray(protect)
+            )
         # Local BA around the new keyframe (distributed when a mesh is
         # configured; see _local_ba), in two abortable chunks — the
         # reference's mbAbortBA polls inside g2o (Optimizer.cc:65-66);
         # here the boundary between chunks is the poll point.
-        m = self._local_ba(m, ki_int, iters=4)
-        if not self._mapping_interrupt.is_set():
+        with _stage("local_ba"):
             m = self._local_ba(m, ki_int, iters=4)
-        m = update_point_normals(m, self.scale_factors)
+            if not self._mapping_interrupt.is_set():
+                m = self._local_ba(m, ki_int, iters=4)
+            m = update_point_normals(m, self.scale_factors)
         # Loop closing on the fresh keyframe (the reference's LoopClosing
         # thread hand-off, LocalMapping.cc:87).
         if self.loop_closer is not None:
-            self.loop_closer.fix_scale = self._depth_mode
-            m2, closed = self.loop_closer.on_keyframe(
-                m, cfg.cam, ki_int,
-                ba_fn=lambda mm: self._schedule_gba(mm, iters=10),
-            )
-            if closed:
-                m = update_point_normals(m2, self.scale_factors)
+            with _stage("loop"):
+                self.loop_closer.fix_scale = self._depth_mode
+                m2, closed = self.loop_closer.on_keyframe(
+                    m, cfg.cam, ki_int,
+                    ba_fn=lambda mm: self._schedule_gba(mm, iters=10),
+                )
+                if closed:
+                    m = update_point_normals(m2, self.scale_factors)
         return m
 
     # --------------------------------------------------------- relocalization
@@ -1395,7 +1557,8 @@ class Tracker:
         self._velocity = None
         self._frames_since_kf = 0
         self._last_kf_idx = -1
-        self._ref_kf_tracked = 0
+        self._n_kf_host = 0
+        self._last_pose_np = None
         self._depth_mode = False
         self.trajectory = []
         self.n_recycled_kf_slots = 0
@@ -1410,6 +1573,14 @@ class Tracker:
 
     # ------------------------------------------------------------- public API
 
+    def _pose_out(self):
+        """Current T_cw as host arrays; served from the fused step's packed
+        fetch when fresh (no extra device sync on steady-state frames)."""
+        if self._last_pose_np is not None:
+            R, t = self._last_pose_np
+            return np.asarray(R), np.asarray(t)
+        return np.asarray(self._last_R), np.asarray(self._last_t)
+
     def track_monocular(self, img: jnp.ndarray, frame_id: int):
         """Process one grayscale frame; returns T_cw (R, t) or None."""
         if self.state in (TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED):
@@ -1417,9 +1588,18 @@ class Tracker:
             self.state = TrackingState.NOT_INITIALIZED
             feats = self._frame_features(img, init=True)
             if self._try_initialize(feats, frame_id):
-                return np.asarray(self._last_R), np.asarray(self._last_t)
+                return self._pose_out()
             return None
-        return self.track_monocular_features(self._frame_features(img), frame_id)
+        self.n_frames += 1
+        self._last_pose_np = None
+        if self.state == TrackingState.OK:
+            # Extraction fused into the tracking program (one dispatch).
+            return self._after_ok_track(
+                self._track_frame(None, frame_id,
+                                  img=jnp.asarray(img, jnp.float32)),
+                frame_id,
+            )
+        return self._lost_track(self._frame_features(img), frame_id)
 
     def track_monocular_features(self, feats: FrameFeatures, frame_id: int):
         """track_monocular over precomputed FrameFeatures — the entry the
@@ -1427,28 +1607,34 @@ class Tracker:
         sessions (pipeline.multi.MultiTracker). Only valid once
         initialized (the init path extracts at 2x feature budget)."""
         self.n_frames += 1
-
+        self._last_pose_np = None
         if self.state == TrackingState.OK:
-            if self._track_frame(feats, frame_id):
-                return np.asarray(self._last_R), np.asarray(self._last_t)
-            self.state = TrackingState.LOST
-            # Auto-reset when lost right after initialization (Tracking.cc:
-            # 494-502): a <=5-KF map is not worth relocalizing against —
-            # rebootstrap instead.
-            if (
-                not self.localization_mode
-                and int(np.asarray(self.map.kf_valid).sum()) <= 5
-            ):
-                self.reset()
-                return None
-            self._record_pose(frame_id, self._last_R, self._last_t, lost=True)
-            return None
+            return self._after_ok_track(
+                self._track_frame(feats, frame_id), frame_id
+            )
+        return self._lost_track(feats, frame_id)
 
-        # LOST.
+    def _after_ok_track(self, ok: bool, frame_id: int):
+        if ok:
+            return self._pose_out()
+        self.state = TrackingState.LOST
+        # Auto-reset when lost right after initialization (Tracking.cc:
+        # 494-502): a <=5-KF map is not worth relocalizing against —
+        # rebootstrap instead.
+        if (
+            not self.localization_mode
+            and int(np.asarray(self.map.kf_valid).sum()) <= 5
+        ):
+            self.reset()
+            return None
+        self._record_pose(frame_id, self._last_R, self._last_t, lost=True)
+        return None
+
+    def _lost_track(self, feats: FrameFeatures, frame_id: int):
         if self._relocalize(feats, frame_id):
             self.state = TrackingState.OK
             self._record_pose(frame_id, self._last_R, self._last_t)
-            return np.asarray(self._last_R), np.asarray(self._last_t)
+            return self._pose_out()
         self._record_pose(frame_id, self._last_R, self._last_t, lost=True)
         return None
 
@@ -1527,7 +1713,7 @@ class Tracker:
         self._velocity = None
         self._last_kf_idx = 0
         self._frames_since_kf = 0
-        self._ref_kf_tracked = int(jnp.sum(obs >= 0))
+        self._n_kf_host = 1
         self._record_pose(frame_id, self._last_R, self._last_t)
         return True
 
@@ -1582,30 +1768,17 @@ class Tracker:
 
     def _track_with_depth(self, feats: FrameFeatures, frame_id: int):
         self.n_frames += 1
+        self._last_pose_np = None
         if self.state in (TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED):
             self.state = TrackingState.NOT_INITIALIZED
             if self._initialize_with_depth(feats, frame_id):
-                return np.asarray(self._last_R), np.asarray(self._last_t)
+                return self._pose_out()
             return None
         if self.state == TrackingState.OK:
-            if self._track_frame(feats, frame_id):
-                return np.asarray(self._last_R), np.asarray(self._last_t)
-            self.state = TrackingState.LOST
-            # Auto-reset on a tiny (<=5 KF) map (Tracking.cc:494-502).
-            if (
-                not self.localization_mode
-                and int(np.asarray(self.map.kf_valid).sum()) <= 5
-            ):
-                self.reset()
-                return None
-            self._record_pose(frame_id, self._last_R, self._last_t, lost=True)
-            return None
-        if self._relocalize(feats, frame_id):
-            self.state = TrackingState.OK
-            self._record_pose(frame_id, self._last_R, self._last_t)
-            return np.asarray(self._last_R), np.asarray(self._last_t)
-        self._record_pose(frame_id, self._last_R, self._last_t, lost=True)
-        return None
+            return self._after_ok_track(
+                self._track_frame(feats, frame_id), frame_id
+            )
+        return self._lost_track(feats, frame_id)
 
     def shutdown(self):
         """Join in-flight mapping/GBA work and stop the worker pools and the
