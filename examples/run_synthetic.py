@@ -7,6 +7,7 @@ way to see the whole pipeline run (see .claude/skills/verify/SKILL.md).
 Usage: python examples/run_synthetic.py [mono|stereo|rgbd] [n_frames]
 """
 
+import os
 import sys
 import time
 
@@ -14,6 +15,13 @@ import numpy as np
 
 sys.path.insert(0, ".")
 sys.path.insert(0, "tests")
+
+# Honor JAX_PLATFORMS=cpu: the axon sitecustomize re-pins jax_platforms via
+# jax.config at interpreter start, so the env var alone is not enough.
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 
 def main():

@@ -141,3 +141,28 @@ class TestTrackerDistBA:
         np.testing.assert_array_equal(
             np.asarray(l1.kf_obs_pt) >= 0, np.asarray(l2.kf_obs_pt) >= 0
         )
+
+
+class TestCollectivePayload:
+    """The point-sharded solver's cross-shard traffic is the packed pose
+    system (O(K) bytes), NOT the point blocks (O(P)): points are fully
+    local to their shard; only the reduced camera system rides the psum
+    (SURVEY.md section 2.4 P7; measured in SCALING_r04.json)."""
+
+    def test_payload_is_O_K_not_O_P(self, rng):
+        from tpuslam.testing import synthetic_ba_problem
+        from tools.bench_scaling import collective_report
+
+        cam, prob_p1 = synthetic_ba_problem(rng, K=6, P=256, n_obs_per_kf=64)
+        _, prob_p4 = synthetic_ba_problem(rng, K=6, P=1024, n_obs_per_kf=64)
+        _, prob_k2 = synthetic_ba_problem(rng, K=12, P=256, n_obs_per_kf=64)
+
+        kw = dict(iters=2, cg_iters=4)
+        b_p1 = collective_report(cam, prob_p1, 4, **kw)["total"]
+        b_p4 = collective_report(cam, prob_p4, 4, **kw)["total"]
+        b_k2 = collective_report(cam, prob_k2, 4, **kw)["total"]
+
+        # 4x the points: identical collective bytes.
+        assert b_p4 == b_p1
+        # 2x the keyframes: payload grows (linearly in K).
+        assert b_p1 < b_k2 <= 2 * b_p1 + 64

@@ -72,6 +72,14 @@ def main():
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--levels", type=int, default=5)
     ap.add_argument("--eval-out", default="tpuslam/data/place_eval.npz")
+    ap.add_argument(
+        "--scale", type=int, default=1,
+        help="corpus-size multiplier: N x the scenes/viewpoints. The "
+        "reference-scale tree (k=10, L=6 = 1M words, "
+        "TemplatedVocabulary.h:1338) needs a multi-million-descriptor "
+        "corpus; --scale 16 renders ~10k images (~4M descriptors).",
+    )
+    ap.add_argument("--skip-eval", action="store_true")
     args = ap.parse_args()
 
     cfg = ORBConfig(n_features=500)
@@ -79,22 +87,23 @@ def main():
     rng = np.random.default_rng(0)
     descs = []
 
-    # Training corpus, part 1: 24 StepWallScene layouts x 6 viewpoints.
+    # Training corpus, part 1: 24*scale StepWallScene layouts x 6 viewpoints.
     cam = PinholeCamera(fx=350.0, fy=350.0, cx=160.0, cy=120.0,
                         width=320, height=240)
-    for scene_seed in range(24):
+    for scene_seed in range(24 * args.scale):
         scene = StepWallScene(np.random.default_rng(scene_seed))
         poses = orbit_trajectory(6, step=0.35)
         for R, t in poses:
             img = scene.render(cam, np.asarray(R), np.asarray(t))
             f = ex(jnp.asarray(img))
             descs.append(np.asarray(f.desc)[np.asarray(f.valid)])
-        print(f"stepwall {scene_seed}: {sum(len(d) for d in descs)} descs",
-              flush=True)
+        if scene_seed % 10 == 0:
+            print(f"stepwall {scene_seed}: {sum(len(d) for d in descs)} descs",
+                  flush=True)
 
-    # Part 2: 60 box-room layouts x 8 random interior viewpoints (the same
-    # scene family the sequences use, fresh textures per seed).
-    for scene_seed in range(100, 160):
+    # Part 2: 60*scale box-room layouts x 8 random interior viewpoints (the
+    # same scene family the sequences use, fresh textures per seed).
+    for scene_seed in range(100, 100 + 60 * args.scale):
         for d, _ in _room_views(scene_seed, 8, 320, 240, 350.0, 500, ex, rng):
             descs.append(d)
         if scene_seed % 10 == 0:
@@ -102,7 +111,7 @@ def main():
                   flush=True)
 
     # Part 3: pure random textures (blurred noise at several scales).
-    for i in range(24):
+    for i in range(24 * args.scale):
         base = rng.uniform(0, 255, (60, 80)).astype(np.float32)
         img = np.kron(base, np.ones((4, 4), np.float32))
         f = ex(jnp.asarray(img))
@@ -112,12 +121,15 @@ def main():
     rng.shuffle(corpus)
     print(f"training k={args.k} L={args.levels} on {len(corpus)} descriptors...",
           flush=True)
-    voc = train_vocabulary(corpus, k=args.k, levels=args.levels, seed=7)
+    voc = train_vocabulary(corpus, k=args.k, levels=args.levels, seed=7,
+                           verbose=True)
     voc.save(args.out)
     check = Vocabulary.load(args.out)
     print(f"wrote {args.out} ({check.n_words} words, "
           f"{os.path.getsize(args.out) / 1e6:.1f} MB)")
 
+    if args.skip_eval:
+        return
     # Held-out eval set: N_PLACES places from UNSEEN room seeds, two views
     # per place (small viewpoint delta), descriptors truncated per view.
     print("rendering held-out place-recognition eval set...", flush=True)

@@ -738,7 +738,8 @@ def build_local_ba_problem(
 
 @partial(
     jax.jit,
-    static_argnames=("cam", "window", "iters", "n_levels", "max_edges"),
+    static_argnames=("cam", "window", "iters", "n_levels", "max_edges",
+                     "cg_iters"),
 )
 def local_bundle_adjustment(
     cam: PinholeCamera,
@@ -749,6 +750,7 @@ def local_bundle_adjustment(
     iters: int = 8,
     n_levels: int = 8,
     max_edges: int = 65536,
+    cg_iters: int = 40,
 ):
     """Local BA over the center KF's covisibility neighborhood; writes
     optimized poses/points back into the map and invalidates outlier
@@ -791,7 +793,7 @@ def local_bundle_adjustment(
             fixed_kf=fixed_kf, fixed_pt=fixed_pt,
         )
         R, t, X, chi2 = bundle_adjustment(
-            cam, prob, iters=iters, use_huber=True
+            cam, prob, iters=iters, use_huber=True, cg_iters=cg_iters
         )
         stereo_e = prob.uvr[:, 2] >= 0
         th = jnp.where(stereo_e, 7.815, 5.991)
@@ -811,7 +813,8 @@ def local_bundle_adjustment(
         fixed_kf=fixed_kf,
         fixed_pt=fixed_pt,
     )
-    R, t, X, chi2 = bundle_adjustment(cam, prob, iters=iters, use_huber=True)
+    R, t, X, chi2 = bundle_adjustment(cam, prob, iters=iters, use_huber=True,
+                                      cg_iters=cg_iters)
     # Outlier pruning: observations with chi2 beyond the threshold are
     # detached (mono 5.991 / stereo 7.815, Optimizer.cc:705-720).
     stereo_e = uvr[:, 2] >= 0
@@ -904,6 +907,7 @@ def fuse_map_points(
     inv_sigma2_table: jnp.ndarray,
     scale_factor: float = 1.2,
     n_levels: int = 8,
+    enabled=True,
 ):
     """SearchInNeighbors / ORBmatcher::Fuse between one KF pair
     (/root/reference/src/LocalMapping.cc:454, ORBmatcher.cc:893): project the
@@ -952,8 +956,9 @@ def fuse_map_points(
     p_src = jnp.maximum(obs_a, 0)          # point carried by each new-KF slot
     tgt_slot = idx                          # matched neighbor keypoint slot
     q = m.kf_obs_pt[kf_nb][tgt_slot]        # existing point there (-1 free)
-    # Don't self-merge.
-    ok = ok & (q != p_src)
+    # Don't self-merge; `enabled` gates the whole op to a no-op (used by the
+    # fused mapping program to skip padded neighbor slots in one lax.scan).
+    ok = ok & (q != p_src) & enabled
 
     # Observation counts per point for merge arbitration.
     has_all = (m.kf_obs_pt >= 0) & m.kf_kp_valid & m.kf_valid[:, None]
@@ -1273,3 +1278,178 @@ def cull_keyframes(m: MapState, current_kf: jnp.ndarray, protect: jnp.ndarray):
         kf_rel_R=jnp.where(cull[:, None, None], rel_R, m.kf_rel_R),
         kf_rel_t=jnp.where(cull[:, None], rel_t, m.kf_rel_t),
     ), cull
+
+
+# --------------------------------------------------------------------------
+# Fused mapping front: the whole LocalMapping epoch for one new keyframe
+# (triangulation vs best covisible neighbors, recent-point culling, two-hop
+# bidirectional fusion, descriptor refresh, redundant-KF culling) as ONE
+# jitted program — /root/reference/src/LocalMapping.cc:47-109's stage list
+# with the per-neighbor C++ loops turned into lax.scan.
+# --------------------------------------------------------------------------
+
+
+def best_covisible_ids(m: MapState, anchor, n: int):
+    """Top-n covisible keyframe ids of `anchor` (padded with -1), in-graph
+    (KeyFrame::GetBestCovisibilityKeyFrames, /root/reference/src/
+    KeyFrame.cc:226). Falls back to the n most recent keyframes by frame id
+    when no covisibility edge exists yet (fresh map)."""
+    K = m.kf_obs_pt.shape[0]
+    n = min(n, K)
+    shared = shared_point_counts(m, anchor)
+    shared = shared.at[anchor].set(0.0)
+    shared = jnp.where(m.kf_valid, shared, 0.0)
+    top_val, top_idx = jax.lax.top_k(shared, n)
+    covis = jnp.where(top_val > 0, top_idx.astype(jnp.int32), -1)
+    fids = jnp.where(m.kf_valid, m.kf_frame_id, -1)
+    fids = fids.at[anchor].set(-1)
+    rv, ri = jax.lax.top_k(fids, n)
+    recent = jnp.where(rv >= 0, ri.astype(jnp.int32), -1)
+    return jnp.where(jnp.any(top_val > 0), covis, recent)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cam", "scale_factor", "n_levels", "nn_tri", "nn_fuse", "fuse_hop",
+        "window",
+    ),
+)
+def mapping_front(
+    cam: PinholeCamera,
+    m: MapState,
+    ki: jnp.ndarray,
+    inv_sigma2_table: jnp.ndarray,
+    min_kf_obs: jnp.ndarray,
+    *,
+    scale_factor: float,
+    n_levels: int,
+    nn_tri: int,
+    nn_fuse: int,
+    fuse_hop: int,
+    window: int,
+):
+    """One-dispatch LocalMapping epoch for new keyframe `ki`.
+
+    Stages (same order as LocalMapping::Run, LocalMapping.cc:47-109):
+      1. triangulate vs the `nn_tri` best covisible KFs (CreateNewMapPoints,
+         :207) — lax.scan over the neighbor list, insertion carried in the
+         scan state;
+      2. recent-point culling (MapPointCulling, :170);
+      3. bidirectional fuse vs the two-hop neighbor set (SearchInNeighbors,
+         :454) — a single scan over directed (src, dst) pairs; duplicate
+         pairs from hop overlap are no-ops (Replace/self-merge gates);
+      4. representative-descriptor refresh for the new KF's points
+         (:541-552);
+      5. redundant-keyframe culling (KeyFrameCulling, :632) with the
+         protect set (origin pair, current KF, recent + covisible window)
+         computed in-graph.
+
+    The host's only jobs left per keyframe are local BA (its own fused
+    program) and loop closing. vs the former per-stage host loop this cuts
+    the mapping job from ~60-100 device dispatches to one — on a tunneled
+    chip that is the difference between ~30 s and ~1 RTT of wire time.
+    """
+    K, N = m.kf_obs_pt.shape
+
+    # -- 1. triangulation vs best covisible neighbors ----------------------
+    neighbors = best_covisible_ids(m, ki, nn_tri)
+
+    def tri_body(mm, prev):
+        ok = prev >= 0
+        prev_ = jnp.maximum(prev, 0)
+        (xyz, desc, nvec, mind, maxd, slot_new, slot_old, good) = (
+            triangulate_new_points(
+                cam, mm, ki, prev_, inv_sigma2_table,
+                scale_factor=scale_factor, n_levels=n_levels,
+            )
+        )
+        good = good & ok
+        from tpuslam.mapstate.core import insert_points
+
+        mm, slots = insert_points(mm, xyz, desc, ki, good, nvec, mind, maxd)
+        created = good & (slots >= 0)
+        obs_new = mm.kf_obs_pt[ki].at[slot_new].set(
+            jnp.where(created, slots, mm.kf_obs_pt[ki][slot_new])
+        )
+        mm = mm._replace(kf_obs_pt=mm.kf_obs_pt.at[ki].set(obs_new))
+        obs_old = mm.kf_obs_pt[prev_].at[slot_old].set(
+            jnp.where(created, slots, mm.kf_obs_pt[prev_][slot_old])
+        )
+        mm = mm._replace(kf_obs_pt=mm.kf_obs_pt.at[prev_].set(obs_old))
+        return mm, None
+
+    m, _ = jax.lax.scan(tri_body, m, neighbors)
+
+    # -- 2. recent-point culling ------------------------------------------
+    m = cull_map_points(m, ki, min_kf_obs)
+
+    # -- 3. two-hop bidirectional fusion ----------------------------------
+    targets = best_covisible_ids(m, ki, nn_fuse)
+    if fuse_hop > 0:
+        def hop_body(_, tgt):
+            ok = tgt >= 0
+            ids = best_covisible_ids(m, jnp.maximum(tgt, 0), fuse_hop)
+            return None, jnp.where(ok, ids, -1)
+
+        _, hops = jax.lax.scan(hop_body, None, targets)
+        ext = jnp.concatenate([targets, hops.reshape(-1)])
+    else:
+        ext = targets
+    ext = jnp.where(ext == ki, -1, ext)
+    if fuse_hop > 0:
+        # Dedupe (the reference's seen-set, LocalMapping.cc:471-487) and
+        # compact direct targets first, then hop neighbors, into a static
+        # 2*nn_fuse block: duplicate pairs would be no-op scan steps that
+        # still pay full fuse cost, and the unique two-hop set rarely
+        # exceeds 2*nn_fuse. Scan length drops ~3x.
+        prio = jnp.where(ext >= 0, 1, 0).at[:nn_fuse].mul(2)
+        first = (
+            jnp.zeros((K + 1,), jnp.int32)
+            .at[jnp.maximum(ext, K)]
+            .max(jnp.arange(ext.shape[0], 0, -1, dtype=jnp.int32))
+        )
+        is_first = first[jnp.maximum(ext, K)] == jnp.arange(
+            ext.shape[0], 0, -1, dtype=jnp.int32
+        )
+        prio = jnp.where(is_first, prio, 0)
+        order = jnp.argsort(-prio, stable=True)[: 2 * nn_fuse]
+        ext = jnp.where(prio[order] > 0, ext[order], -1)
+    fwd = jnp.stack([jnp.full_like(ext, ki), ext], axis=1)
+    bwd = jnp.stack([ext, jnp.full_like(ext, ki)], axis=1)
+    pairs = jnp.concatenate([fwd, bwd], axis=0)
+
+    def fuse_body(mm, pair):
+        src, dst = pair[0], pair[1]
+        ok = (src >= 0) & (dst >= 0)
+        mm = fuse_map_points(
+            cam, mm, jnp.maximum(src, 0), jnp.maximum(dst, 0),
+            inv_sigma2_table, scale_factor=scale_factor, n_levels=n_levels,
+            enabled=ok,
+        )
+        return mm, None
+
+    m, _ = jax.lax.scan(fuse_body, m, pairs)
+
+    # -- 4. descriptor refresh for the new KF's points --------------------
+    from tpuslam.mapstate.core import compute_point_descriptors
+
+    cur_obs = m.kf_obs_pt[ki]
+    touched = (
+        jnp.zeros((m.capacity_pt + 1,), bool)
+        .at[jnp.where(cur_obs >= 0, cur_obs, m.capacity_pt)]
+        .set(True)[: m.capacity_pt]
+    )
+    m = compute_point_descriptors(m, touched)
+
+    # -- 5. redundant-keyframe culling ------------------------------------
+    w = min(window, K)
+    protect = jnp.zeros((K,), bool).at[0].set(True).at[1].set(True)
+    protect = protect.at[ki].set(True)
+    fids = jnp.where(m.kf_valid, m.kf_frame_id, -1)
+    rv, ri = jax.lax.top_k(fids, w)
+    protect = protect.at[jnp.where(rv >= 0, ri, 0)].max(rv >= 0)
+    cov = best_covisible_ids(m, ki, w)
+    protect = protect.at[jnp.maximum(cov, 0)].max(cov >= 0)
+    m, _ = cull_keyframes(m, ki, protect)
+    return m

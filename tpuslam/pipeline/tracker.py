@@ -76,6 +76,13 @@ class TrackerConfig:
     tri_neighbors: int = 0
     fuse_neighbors: int = 0
     fuse_second_hop: int = 5
+    # Local BA cost caps: the solver runs on a compacted edge block
+    # (active-graph edges first; steps.local_bundle_adjustment) and a
+    # truncated-CG Schur solve. 16k edges covers the reference's local
+    # window (~8 KFs x 1000 kp with most slots empty) with headroom;
+    # raising it only pays when the covisibility window is dense.
+    local_ba_max_edges: int = 16384
+    local_ba_cg_iters: int = 40
     init_min_matches: int = 100    # MonocularInitialization (Tracking.cc:606,637)
     # Stereo/RGB-D: close-point depth threshold factor; th_depth =
     # th_depth_factor x baseline (ThDepth in the YAMLs, Tracking.cc:144-147).
@@ -452,7 +459,8 @@ class Tracker:
             return steps.local_bundle_adjustment(
                 cfg.cam, m, jnp.int32(center_kf), self.inv_sigma2,
                 window=cfg.local_ba_window, n_levels=cfg.orb.n_levels,
-                iters=iters,
+                iters=iters, max_edges=cfg.local_ba_max_edges,
+                cg_iters=cfg.local_ba_cg_iters,
             )
         K, N = m.kf_obs_pt.shape
         kfi, pti, uvr, has, fixed_kf, fixed_pt = steps.build_local_ba_problem(
@@ -1260,117 +1268,28 @@ class Tracker:
             m, remap = compact_point_slots(m)
             self._pending_pt_remap = np.asarray(remap)
             self._gba_generation += 1  # index-based GBA snapshot now stale
-        # Triangulate new points against the best covisible keyframes
-        # (LocalMapping::CreateNewMapPoints, LocalMapping.cc:207-244: the 10
-        # (stereo) / 20 (mono) best covisible neighbors). Falls back to
-        # recency while the new KF has no covisibility edges yet (fresh map).
+        # The whole LocalMapping epoch — triangulation vs the 10 (stereo) /
+        # 20 (mono) best covisible neighbors (LocalMapping.cc:207-244),
+        # recent-point culling, two-hop bidirectional fusion, descriptor
+        # refresh, redundant-KF culling — runs as ONE jitted program
+        # (steps.mapping_front): one device dispatch instead of the former
+        # ~60-100, which is what lets the mapping job keep up with the
+        # fused per-frame tracking path. The interrupt protocol's
+        # truncation points are now between front / BA chunks (the
+        # reference's mbAbortBA aborts mostly inside BA too,
+        # Optimizer.cc:65-66).
         self._mapping_interrupt.clear()
         nn_auto = 10 if self._depth_mode else 20
-        with _stage("triangulate"):
-            neighbors = self._best_covisible(
-                m, ki_int, cfg.tri_neighbors or nn_auto
-            )
-            for prev in neighbors:
-                (xyz, desc, nvec, min_d, max_d, slot_new, slot_old, good) = (
-                    steps.triangulate_new_points(
-                        cfg.cam, m, jnp.int32(ki_int), jnp.int32(prev),
-                        self.inv_sigma2,
-                        scale_factor=cfg.orb.scale_factor,
-                        n_levels=cfg.orb.n_levels,
-                    )
-                )
-                m, slots = insert_points(
-                    m, xyz, desc, ki_int, good, nvec, min_d, max_d
-                )
-                created = good & (slots >= 0)
-                # Register observations in both keyframes.
-                obs_new = m.kf_obs_pt[ki_int].at[slot_new].set(
-                    jnp.where(created, slots, m.kf_obs_pt[ki_int][slot_new])
-                )
-                obs_old = m.kf_obs_pt[prev].at[slot_old].set(
-                    jnp.where(created, slots, m.kf_obs_pt[prev][slot_old])
-                )
-                m = m._replace(
-                    kf_obs_pt=m.kf_obs_pt.at[ki_int].set(obs_new).at[prev].set(obs_old)
-                )
-        # Recent-point culling (LocalMapping::MapPointCulling): a mono point
-        # must reach 3 keyframes within 2 KFs of creation, stereo/RGB-D 2
-        # (reference cnThObs with stereo observations counting double).
-        with _stage("cull_points"):
-            m = steps.cull_map_points(
-                m, jnp.int32(ki_int),
+        with _stage("front"):
+            m = steps.mapping_front(
+                cfg.cam, m, jnp.int32(ki_int), self.inv_sigma2,
                 jnp.float32(2.0 if self._depth_mode else 3.0),
-            )
-        # Duplicate-point fusion (LocalMapping::SearchInNeighbors,
-        # LocalMapping.cc:454-552): the two-hop target set — nn best
-        # covisible neighbors plus `fuse_second_hop` of each neighbor's own
-        # neighbors — fused in BOTH directions: the new KF's points into
-        # each target (matcher.Fuse(pKFi, vpMapPointMatches), :489) and the
-        # targets' points into the new KF (:514).
-        with _stage("fuse"):
-            targets = self._best_covisible(
-                m, ki_int, cfg.fuse_neighbors or nn_auto
-            )
-            ext = list(targets)
-            seen = set(ext) | {ki_int}
-            if cfg.fuse_second_hop > 0:
-                for nb in targets:
-                    for nb2 in self._best_covisible(m, nb, cfg.fuse_second_hop):
-                        if nb2 not in seen:
-                            seen.add(nb2)
-                            ext.append(nb2)
-            # Both fuse directions; truncatable on interrupt (fusion pairs
-            # are independent — skipping the tail loses only dedup
-            # opportunities, exactly like the reference's aborted
-            # SearchInNeighbors epoch).
-            for prev in ext:
-                if self._mapping_interrupt.is_set():
-                    break
-                m = steps.fuse_map_points(
-                    cfg.cam, m, jnp.int32(ki_int), jnp.int32(prev),
-                    self.inv_sigma2,
-                    scale_factor=cfg.orb.scale_factor,
-                    n_levels=cfg.orb.n_levels,
-                )
-            for prev in ext:
-                if self._mapping_interrupt.is_set():
-                    break
-                m = steps.fuse_map_points(
-                    cfg.cam, m, jnp.int32(prev), jnp.int32(ki_int),
-                    self.inv_sigma2,
-                    scale_factor=cfg.orb.scale_factor,
-                    n_levels=cfg.orb.n_levels,
-                )
-        # Refresh the fused points' representative descriptors
-        # (LocalMapping.cc:541-552 updates every current-KF map point).
-        if ext:
-            with _stage("desc_refresh"):
-                cur_obs = m.kf_obs_pt[ki_int]
-                # Scatter only the True entries (unmatched slots park in a
-                # scratch row): mixed True/False scatters to duplicate
-                # indices have undefined order, which could skip slot 0.
-                touched = (
-                    jnp.zeros((m.capacity_pt + 1,), bool)
-                    .at[jnp.where(cur_obs >= 0, cur_obs, m.capacity_pt)]
-                    .set(True)[: m.capacity_pt]
-                )
-                m = compute_point_descriptors(m, touched)
-        # Redundant-keyframe culling (LocalMapping::KeyFrameCulling); protect
-        # the origin pair, the current KF, and its local (covisible + recent)
-        # neighborhood.
-        with _stage("cull_kfs"):
-            protect = np.zeros(m.capacity_kf, bool)
-            protect[:2] = True
-            protect[ki_int] = True
-            # Recent window by frame id (slot order stops tracking time
-            # once culled slots are recycled).
-            fids = np.asarray(m.kf_frame_id).copy()
-            fids[~np.asarray(m.kf_valid)] = -1
-            recent = np.argsort(-fids)[: cfg.local_ba_window]
-            protect[[int(k) for k in recent if fids[k] >= 0]] = True
-            protect[self._best_covisible(m, ki_int, cfg.local_ba_window)] = True
-            m, culled = steps.cull_keyframes(
-                m, jnp.int32(ki_int), jnp.asarray(protect)
+                scale_factor=cfg.orb.scale_factor,
+                n_levels=cfg.orb.n_levels,
+                nn_tri=cfg.tri_neighbors or nn_auto,
+                nn_fuse=cfg.fuse_neighbors or nn_auto,
+                fuse_hop=cfg.fuse_second_hop,
+                window=cfg.local_ba_window,
             )
         # Local BA around the new keyframe (distributed when a mesh is
         # configured; see _local_ba), in two abortable chunks — the

@@ -68,10 +68,23 @@ class Vocabulary(NamedTuple):
         )
 
 
-def _popcount_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """(Na, 8) x (Nb, 8) uint32 -> (Na, Nb) int Hamming, numpy (training)."""
-    x = a[:, None, :] ^ b[None, :, :]
-    return np.unpackbits(x.view(np.uint8), axis=-1).sum(axis=-1)
+_POP8 = np.array([bin(i).count("1") for i in range(256)], np.uint16)
+
+
+def _popcount_matrix(a: np.ndarray, b: np.ndarray, chunk: int = 1 << 15) -> np.ndarray:
+    """(Na, 8) x (Nb, 8) uint32 -> (Na, Nb) int Hamming, numpy (training).
+
+    Chunked byte-LUT popcount: O(Na*Nb*32) byte lookups with bounded
+    temporaries, so it stays usable at the multi-million-descriptor
+    corpus sizes a DBoW2-scale (k=10, L=6) vocabulary needs."""
+    a = np.ascontiguousarray(a, np.uint32)
+    b = np.ascontiguousarray(b, np.uint32)
+    bb = b.view(np.uint8).reshape(len(b), 32)
+    out = np.empty((len(a), len(b)), np.uint16)
+    for s in range(0, len(a), chunk):
+        x = a[s : s + chunk].view(np.uint8).reshape(-1, 1, 32) ^ bb[None]
+        out[s : s + chunk] = _POP8[x].sum(axis=-1, dtype=np.uint16)
+    return out
 
 
 def _majority_center(desc: np.ndarray) -> np.ndarray:
@@ -89,12 +102,21 @@ def train_vocabulary(
     levels: int = 4,
     iters: int = 8,
     seed: int = 0,
+    sample_cap: int = 50_000,
+    verbose: bool = False,
 ) -> Vocabulary:
     """Train a k^levels-word vocabulary with per-node k-majority clustering.
 
     descriptors: (N, 8) uint32. Node order follows the contiguous-children
     layout; empty nodes inherit their parent's center so descent stays
     well-defined.
+
+    Scales to DBoW2-size trees (k=10, L=6 = 1M words over multi-million
+    descriptor corpora, TemplatedVocabulary.h:1338): per-node groups come
+    from one stable argsort per level (not an O(N) scan per node), and
+    nodes holding more than `sample_cap` descriptors run k-means on a
+    random subsample before assigning the full set (standard hierarchical
+    k-means practice; exact behavior is unchanged for nodes under the cap).
     """
     rng = np.random.default_rng(seed)
     desc = np.asarray(descriptors, np.uint32)
@@ -106,8 +128,17 @@ def train_vocabulary(
         n_nodes = k ** (lvl + 1)
         centers = np.zeros((n_nodes, 8), np.uint32)
         new_assign = np.zeros_like(assignments)
+        # One stable sort gives every node's member list (ascending
+        # indices, same contents np.nonzero(assignments == p) would give).
+        order = np.argsort(assignments, kind="stable")
+        bounds = np.searchsorted(assignments[order], np.arange(n_parents + 1))
+        t_lvl = None
+        if verbose:
+            import time as _time
+
+            t_lvl = _time.perf_counter()
         for p in range(n_parents):
-            sel = np.nonzero(assignments == p)[0]
+            sel = order[bounds[p] : bounds[p + 1]]
             if len(sel) == 0:
                 # Empty subtree: copy parent's center into all children.
                 parent_center = (
@@ -116,14 +147,17 @@ def train_vocabulary(
                 centers[p * k : (p + 1) * k] = parent_center
                 continue
             d = desc[sel]
+            dk = d
+            if len(d) > sample_cap:
+                dk = d[rng.choice(len(d), sample_cap, replace=False)]
             # Init: k distinct random picks (k-majority / binary k-means).
-            n_init = min(k, len(d))
-            picks = rng.choice(len(d), n_init, replace=False)
-            c = d[picks].copy()
+            n_init = min(k, len(dk))
+            picks = rng.choice(len(dk), n_init, replace=False)
+            c = dk[picks].copy()
             for _ in range(iters):
-                dist = _popcount_matrix(d, c)
+                dist = _popcount_matrix(dk, c)
                 a = dist.argmin(axis=1)
-                newc = np.stack([_majority_center(d[a == j]) if np.any(a == j) else c[j] for j in range(n_init)])
+                newc = np.stack([_majority_center(dk[a == j]) if np.any(a == j) else c[j] for j in range(n_init)])
                 if np.array_equal(newc, c):
                     break
                 c = newc
@@ -136,6 +170,14 @@ def train_vocabulary(
             new_assign[sel] = p * k + dist.argmin(axis=1)
         centers_per_level.append(centers)
         assignments = new_assign
+        if verbose:
+            import time as _time
+
+            print(
+                f"  vocab level {lvl + 1}/{levels}: {n_nodes} nodes, "
+                f"{_time.perf_counter() - t_lvl:.1f}s",
+                flush=True,
+            )
 
     # IDF weights over the training corpus treated as one document set: the
     # reference computes IDF from per-image occurrence; with a flat corpus we
