@@ -64,7 +64,11 @@ def build_loop_map(rng, n_kf=16, drift=0.012, revisit=True):
         R_prev, t_prev = drifted[k - 1]
         drifted.append((Rrel_n @ R_prev, Rrel_n @ t_prev + trel_n))
 
-    m = make_empty_map(max_kf=24, n_features=N_KP, max_pt=2400)
+    m = make_empty_map(
+        max_kf=max(24, n_kf + 8),
+        n_features=N_KP,
+        max_pt=max(2400, n_kf * 44 + 400),
+    )
     prev_own_slots = None
     prev2_own_slots = None
     dup_slots = None

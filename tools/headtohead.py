@@ -106,6 +106,14 @@ def run_reference(seq_dir, mode, voc, out_prefix):
 
 
 def run_ours(seq_dir, mode, out_file, max_frames=None):
+    # Honor JAX_PLATFORMS (the axon sitecustomize re-pins jax_platforms via
+    # jax.config at interpreter start): JAX_PLATFORMS=cpu gives the
+    # same-host comparison against the reference binary and sidesteps
+    # tunneled-chip flakiness.
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
 
     from tpuslam.io import load_settings
@@ -155,6 +163,11 @@ def run_ours(seq_dir, mode, out_file, max_frames=None):
         times.append(time.perf_counter() - t0)
     sys_.shutdown()
     sys_.save_trajectory_tum(out_file)
+    # KF-only export too: the reference's mono drivers can only save
+    # keyframe trajectories (SaveTrajectoryTUM aborts for monocular,
+    # System.cc:344-348), so the like-for-like mono ATE row is KF-vs-KF;
+    # the full trajectory still measures pose coverage.
+    sys_.save_keyframe_trajectory_tum(out_file[:-4] + "_kf.txt")
     stats = sys_.map_stats()
     loops = (sys_.tracker.loop_closer.n_loops_closed
              if sys_.tracker.loop_closer else 0)
@@ -218,6 +231,10 @@ def main():
                             max_frames=args.max_frames or None)
             ate, n = ate_rmse(ours_traj, gt, fix_scale)
             info.update(ate_rmse_m=round(ate, 4), n_poses=n)
+            kf_traj = ours_traj[:-4] + "_kf.txt"
+            if os.path.exists(kf_traj):
+                ate_kf, n_kf = ate_rmse(kf_traj, gt, fix_scale)
+                info.update(ate_kf_rmse_m=round(ate_kf, 4), n_kf_poses=n_kf)
             entry["tpuslam"] = info
         results[name] = entry
         print(json.dumps({name: entry}, indent=2), flush=True)
@@ -231,16 +248,23 @@ def main():
         "Identical rendered frames (tools/seqgen.py), reference = the full",
         "/root/reference pipeline compiled headless (tools/refbench refslam),",
         "vocabulary trained with the reference's own ORBextractor+DBoW2.",
-        "ATE after Horn alignment vs ground truth (Sim3 mono / SE3 stereo).\n",
-        "| sequence | ref ATE RMSE (m) | tpuslam ATE RMSE (m) | "
-        "ref median ms/frame | tpuslam median ms/frame | ref loops | tpu loops |",
-        "|---|---|---|---|---|---|---|",
+        "ATE after Horn alignment vs ground truth (Sim3 mono / SE3 stereo).",
+        "The reference's mono export is KEYFRAME-only (SaveTrajectoryTUM",
+        "aborts for monocular, System.cc:344-348), so the like-for-like ATE",
+        "column for tpuslam is its KF-only export; 'full' is every tracked",
+        "frame (pose coverage the reference cannot emit for mono).\n",
+        "| sequence | ref ATE (m; mono=KF-only) | tpuslam ATE (m, KF) | "
+        "tpuslam ATE (m, full) | full poses | ref median ms | "
+        "tpuslam median ms | ref loops | tpu loops |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     for name, e in results.items():
         r = e.get("reference") or {}
         o = e.get("tpuslam") or {}
         lines.append(
-            f"| {name} | {r.get('ate_rmse_m', '—')} | {o.get('ate_rmse_m', '—')} | "
+            f"| {name} | {r.get('ate_rmse_m', '—')} | "
+            f"{o.get('ate_kf_rmse_m', '—')} | {o.get('ate_rmse_m', '—')} | "
+            f"{o.get('n_poses', '—')} | "
             f"{r.get('median_track_ms', '—')} | {o.get('median_track_ms', '—')} | "
             f"{r.get('loops_detected', '—')} | {o.get('loops_closed', '—')} |"
         )

@@ -128,6 +128,16 @@ class LoopCloser:
         corpus = np.concatenate(descs, axis=0)
         if len(corpus) < 500:
             return False
+        import warnings
+
+        warnings.warn(
+            "tpuslam: shipped default vocabulary not found; training a "
+            f"tiny in-session fallback ({self.voc_k}^{self.voc_levels} "
+            "words from the first keyframes). Loop/relocalization recall "
+            "will be degraded — install tpuslam/data/default_vocab.npz "
+            "(tools/build_default_vocab.py) or pass voc= explicitly.",
+            stacklevel=2,
+        )
         self.voc = train_vocabulary(
             corpus[:6000], k=self.voc_k, levels=self.voc_levels, seed=7
         )
