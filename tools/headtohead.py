@@ -134,7 +134,13 @@ def run_ours(seq_dir, mode, out_file, max_frames=None):
         # spacing is enforced as a minimum frame gap (without it every
         # c2-frame becomes a keyframe and redundancy culling does all the
         # work at 10x the mapping cost).
-        kf_min_frames=int(os.environ.get("H2H_KF_MIN", 4)),
+        kf_min_frames=int(
+            os.environ.get("H2H_KF_MIN", 4 if mode == "mono" else 2)
+        ),
+        # Full edge budget for the accuracy comparison: stereo KFs carry
+        # 2000 keypoints, so the throughput-oriented 16k default drops
+        # boundary edges that anchor the local window's points.
+        local_ba_max_edges=int(os.environ.get("H2H_BA_EDGES", 65536)),
         th_depth_factor=settings.th_depth_factor,
         max_keyframes=int(os.environ.get("H2H_MAX_KF", 256)),
         max_points=int(os.environ.get("H2H_MAX_PT", 24_576)),
