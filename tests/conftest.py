@@ -43,6 +43,7 @@ _FAST_MODULES = {
     "test_dist_ba",
     "test_orbvoc_convert",
     "test_map_scale",
+    "test_fuse_dedupe",
 }
 
 

@@ -26,6 +26,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tpuslam.geometry.camera import PinholeCamera
 from tpuslam.geometry.se3 import hat, se3_exp, se3_compose, so3_project
@@ -45,7 +46,10 @@ class PoseObs(NamedTuple):
     valid: jnp.ndarray      # (..., N,) bool
 
 
-_MONO_ROWS = jnp.array([1.0, 1.0, 0.0])
+# Plain numpy, NOT jnp: a module-level jnp.array would initialize jax
+# backends at import time, which pins the platform before callers (worker
+# subprocesses, conftest) can select one.
+_MONO_ROWS = np.array([1.0, 1.0, 0.0], np.float32)
 
 
 def _residual_jacobian(cam: PinholeCamera, R, t, obs: PoseObs):

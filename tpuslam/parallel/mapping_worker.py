@@ -149,6 +149,17 @@ def _worker_main():
     import jax
 
     jax.config.update("jax_platforms", os.environ.get("JAX_PLATFORMS", "cpu"))
+    # If anything initialized backends during module import (e.g. an
+    # import-time jnp constant somewhere under `python -m tpuslam...`), the
+    # platform choice above is a no-op against the cached backend set and
+    # this worker would silently grab the tracker's TPU chip. Drop the
+    # stale set so the next backends() re-reads jax_platforms.
+    from jax._src import xla_bridge as _xb
+
+    if _xb.backends_are_initialized():
+        from jax.extend.backend import clear_backends
+
+        clear_backends()
 
     stdin = sys.stdin.buffer
     stdout = sys.stdout.buffer

@@ -1308,6 +1308,37 @@ def best_covisible_ids(m: MapState, anchor, n: int):
     return jnp.where(jnp.any(top_val > 0), covis, recent)
 
 
+def dedupe_fuse_targets(ext: jnp.ndarray, K: int, nn_fuse: int) -> jnp.ndarray:
+    """Dedupe the two-hop fuse-target list (the reference's seen-set,
+    LocalMapping.cc:471-487) and compact direct targets first, then hop
+    neighbors, into a static 2*nn_fuse block.
+
+    `ext` is [direct targets (nn_fuse) | hop neighbors], entries in
+    [0, K) or -1 for invalid. Duplicate pairs would be no-op scan steps
+    that still pay full fuse cost; deduping drops the fuse scan ~3x.
+
+    Static cost cap: the unique two-hop set can reach
+    nn_fuse*(1+fuse_hop) ids in dense graphs; we keep the best 2*nn_fuse
+    (direct targets prioritized over hop neighbors), an intentional
+    deviation from the reference's unbounded seen-set.
+    """
+    # Invalid entries (-1) park at slot K so they never collide with a
+    # real target id in [0, K).
+    park = jnp.where(ext >= 0, ext, K)
+    prio = jnp.where(ext >= 0, 1, 0).at[:nn_fuse].mul(2)
+    first = (
+        jnp.zeros((K + 1,), jnp.int32)
+        .at[park]
+        .max(jnp.arange(ext.shape[0], 0, -1, dtype=jnp.int32))
+    )
+    is_first = first[park] == jnp.arange(
+        ext.shape[0], 0, -1, dtype=jnp.int32
+    )
+    prio = jnp.where(is_first, prio, 0)
+    order = jnp.argsort(-prio, stable=True)[: 2 * nn_fuse]
+    return jnp.where(prio[order] > 0, ext[order], -1)
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -1398,23 +1429,7 @@ def mapping_front(
         ext = targets
     ext = jnp.where(ext == ki, -1, ext)
     if fuse_hop > 0:
-        # Dedupe (the reference's seen-set, LocalMapping.cc:471-487) and
-        # compact direct targets first, then hop neighbors, into a static
-        # 2*nn_fuse block: duplicate pairs would be no-op scan steps that
-        # still pay full fuse cost, and the unique two-hop set rarely
-        # exceeds 2*nn_fuse. Scan length drops ~3x.
-        prio = jnp.where(ext >= 0, 1, 0).at[:nn_fuse].mul(2)
-        first = (
-            jnp.zeros((K + 1,), jnp.int32)
-            .at[jnp.maximum(ext, K)]
-            .max(jnp.arange(ext.shape[0], 0, -1, dtype=jnp.int32))
-        )
-        is_first = first[jnp.maximum(ext, K)] == jnp.arange(
-            ext.shape[0], 0, -1, dtype=jnp.int32
-        )
-        prio = jnp.where(is_first, prio, 0)
-        order = jnp.argsort(-prio, stable=True)[: 2 * nn_fuse]
-        ext = jnp.where(prio[order] > 0, ext[order], -1)
+        ext = dedupe_fuse_targets(ext, K, nn_fuse)
     fwd = jnp.stack([jnp.full_like(ext, ki), ext], axis=1)
     bwd = jnp.stack([ext, jnp.full_like(ext, ki)], axis=1)
     pairs = jnp.concatenate([fwd, bwd], axis=0)
