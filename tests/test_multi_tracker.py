@@ -14,6 +14,22 @@ from tpuslam.pipeline.tracker import TrackerConfig, TrackingState
 CAM = PinholeCamera(fx=300.0, fy=300.0, cx=160.0, cy=120.0, width=320, height=240)
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _fresh_compile_state():
+    """The batched MultiTracker programs are the largest compiles in the
+    suite; after ~35 other tests the accumulated XLA:CPU jit state makes
+    that compile segfault (suite-order crash, VERDICT r4). Dropping every
+    cached executable + trace before this module compiles keeps the
+    sequential full-suite run green; tests themselves are unchanged."""
+    import gc
+
+    import jax
+
+    jax.clear_caches()
+    gc.collect()
+    yield
+
+
 def _config():
     return TrackerConfig(
         cam=CAM,

@@ -183,3 +183,69 @@ class TestBundleAdjustment:
         X0 = np.asarray(prob.X).copy()
         _, _, X, _ = bundle_adjustment(CAM, prob, iters=5)
         np.testing.assert_allclose(np.asarray(X)[:20], X0[:20], atol=1e-6)
+
+
+class TestDenseSchurBA:
+    """dense_schur_bundle_adjustment: the explicit reduced-camera-system
+    solver used by local BA (scatter-free pose-side assembly + direct
+    solve). Must reach the same optima as the CG solver."""
+
+    def _active(self, prob, a=8):
+        K = prob.R.shape[0]
+        act = [k for k in range(K) if not bool(prob.fixed_kf[k])][:a]
+        act += [-1] * (a - len(act))
+        return jnp.asarray(np.array(act, np.int32))
+
+    def test_reduces_reprojection_error(self, rng):
+        from tpuslam.optim.ba import dense_schur_bundle_adjustment
+
+        prob, *_ = make_ba_problem(rng, noise=0.0)
+        _, _, _, chi2_before = bundle_adjustment(CAM, prob, iters=0)
+        R, t, X, chi2 = jax.jit(
+            lambda p, a: dense_schur_bundle_adjustment(CAM, p, a, iters=12)
+        )(prob, self._active(prob))
+        assert float(jnp.sum(chi2)) < 0.01 * float(jnp.sum(chi2_before))
+
+    def test_matches_cg_solver(self, rng):
+        from tpuslam.optim.ba import dense_schur_bundle_adjustment
+
+        prob, R_gt, t_gt, X_gt = make_ba_problem(rng, noise=0.2)
+        R1, t1, X1, _ = bundle_adjustment(CAM, prob, iters=15, cg_iters=80)
+        R2, t2, X2, _ = dense_schur_bundle_adjustment(
+            CAM, prob, self._active(prob), iters=15
+        )
+        # Both converge to the same stationary point (mono gauge freedom
+        # handled by the same fixed KF 0).
+        for k in range(1, R_gt.shape[0]):
+            assert rot_err_deg(np.asarray(R1)[k], np.asarray(R2)[k]) < 0.1
+            assert np.linalg.norm(np.asarray(t1)[k] - np.asarray(t2)[k]) < 0.02
+
+    def test_recovers_poses(self, rng):
+        from tpuslam.optim.ba import dense_schur_bundle_adjustment
+
+        prob, R_gt, t_gt, X_gt = make_ba_problem(rng, noise=0.2)
+        R, t, X, _ = dense_schur_bundle_adjustment(
+            CAM, prob, self._active(prob), iters=15
+        )
+        R, t = np.asarray(R), np.asarray(t)
+        s = np.median(
+            [np.linalg.norm(t_gt[k]) / max(np.linalg.norm(t[k]), 1e-9)
+             for k in range(1, len(R_gt))]
+        )
+        for k in range(1, len(R_gt)):
+            assert rot_err_deg(R[k], R_gt[k]) < 0.2, f"kf {k}"
+            assert np.linalg.norm(s * t[k] - t_gt[k]) < 0.02, f"kf {k}"
+
+    def test_inactive_kf_held_fixed(self, rng):
+        from tpuslam.optim.ba import dense_schur_bundle_adjustment
+
+        prob, R_gt, t_gt, _ = make_ba_problem(rng)
+        K = prob.R.shape[0]
+        # Only KFs 1 and 2 active: all others (incl. fixed 0) must not move.
+        act = jnp.asarray(np.array([1, 2, -1, -1], np.int32))
+        R0 = np.asarray(prob.R).copy()
+        t0 = np.asarray(prob.t).copy()
+        R, t, X, _ = dense_schur_bundle_adjustment(CAM, prob, act, iters=5)
+        for k in [0] + list(range(3, K)):
+            np.testing.assert_allclose(np.asarray(R)[k], R0[k], atol=1e-5)
+            np.testing.assert_allclose(np.asarray(t)[k], t0[k], atol=1e-5)

@@ -20,6 +20,7 @@ from tpuslam.geometry.triangulation import triangulate_two_view
 from tpuslam.mapstate.core import (
     FrameFeatures,
     MapState,
+    covisibility_weights,
     shared_point_counts,
 )
 from tpuslam.matching.hamming import hamming_matrix
@@ -31,7 +32,7 @@ from tpuslam.matching.search import (
     rotation_consistency_mask,
     search_by_projection_points,
 )
-from tpuslam.optim.ba import BAProblem, bundle_adjustment
+from tpuslam.optim.ba import BAProblem, dense_schur_bundle_adjustment
 from tpuslam.optim.pose import PoseObs, pose_optimization
 
 _BIG = 1 << 20
@@ -739,7 +740,7 @@ def build_local_ba_problem(
 @partial(
     jax.jit,
     static_argnames=("cam", "window", "iters", "n_levels", "max_edges",
-                     "cg_iters"),
+                     "active_max"),
 )
 def local_bundle_adjustment(
     cam: PinholeCamera,
@@ -750,7 +751,7 @@ def local_bundle_adjustment(
     iters: int = 8,
     n_levels: int = 8,
     max_edges: int = 65536,
-    cg_iters: int = 40,
+    active_max: int = 32,
 ):
     """Local BA over the center KF's covisibility neighborhood; writes
     optimized poses/points back into the map and invalidates outlier
@@ -763,12 +764,35 @@ def local_bundle_adjustment(
     overflow). The full (K, N) problem wasted >10x the FLOPs on
     fixed-fixed edges at KITTI-scale capacities.
 
+    The adjustable keyframes are further rank-compacted (most-covisible
+    first, center always kept) into a static `active_max` window and the
+    reduced camera system is solved DENSELY
+    (optim.ba.dense_schur_bundle_adjustment) — the scatter-heavy CG path
+    cost ~750 ms per chunk on a v5e; the dense path is ~25x cheaper and
+    exact, matching g2o's Cholesky-on-reduced-system strategy.
+
     Returns the updated MapState.
     """
     K, N = m.kf_obs_pt.shape
     kfi, pti, uvr, has, fixed_kf, fixed_pt = build_local_ba_problem(
         m, center_kf, window, 0
     )
+    # Rank-compact adjustable KFs into `active_max` static slots: center
+    # first, then by shared-point count with the center (the covisibility
+    # ordering of Optimizer.cc:455-468); overflow becomes fixed boundary.
+    adjustable = m.kf_valid & ~fixed_kf
+    shared = shared_point_counts(m, center_kf)
+    score = jnp.where(adjustable, shared + 1.0, -1.0)
+    score = score.at[center_kf].set(jnp.inf)
+    a = min(active_max, K)
+    vals, idx = jax.lax.top_k(score, a)
+    active_idx = jnp.where(vals > 0, idx.astype(jnp.int32), -1)
+    # KFs that were adjustable but fell off the active window are fixed.
+    in_active = jnp.zeros((K + 1,), bool).at[
+        jnp.where(active_idx >= 0, active_idx, K)
+    ].set(True)[:K]
+    fixed_kf = fixed_kf | (adjustable & ~in_active)
+
     inv_s2 = inv_sigma2_table[
         jnp.clip(m.kf_kp_level.reshape(-1), 0, inv_sigma2_table.shape[0] - 1)
     ]
@@ -792,8 +816,8 @@ def local_bundle_adjustment(
             valid=valid_e[sel] & e_live,
             fixed_kf=fixed_kf, fixed_pt=fixed_pt,
         )
-        R, t, X, chi2 = bundle_adjustment(
-            cam, prob, iters=iters, use_huber=True, cg_iters=cg_iters
+        R, t, X, chi2 = dense_schur_bundle_adjustment(
+            cam, prob, active_idx, iters=iters, use_huber=True
         )
         stereo_e = prob.uvr[:, 2] >= 0
         th = jnp.where(stereo_e, 7.815, 5.991)
@@ -813,8 +837,9 @@ def local_bundle_adjustment(
         fixed_kf=fixed_kf,
         fixed_pt=fixed_pt,
     )
-    R, t, X, chi2 = bundle_adjustment(cam, prob, iters=iters, use_huber=True,
-                                      cg_iters=cg_iters)
+    R, t, X, chi2 = dense_schur_bundle_adjustment(
+        cam, prob, active_idx, iters=iters, use_huber=True
+    )
     # Outlier pruning: observations with chi2 beyond the threshold are
     # detached (mono 5.991 / stereo 7.815, Optimizer.cc:705-720).
     stereo_e = uvr[:, 2] >= 0
@@ -899,31 +924,32 @@ def stereo_frame_features(
 
 
 @partial(jax.jit, static_argnames=("cam", "scale_factor", "n_levels"))
-def fuse_map_points(
+def _fuse_pair_match(
     cam: PinholeCamera,
     m: MapState,
-    kf_new: jnp.ndarray,
-    kf_nb: jnp.ndarray,
+    cnt: jnp.ndarray,
+    src: jnp.ndarray,
+    dst: jnp.ndarray,
     inv_sigma2_table: jnp.ndarray,
     scale_factor: float = 1.2,
     n_levels: int = 8,
     enabled=True,
 ):
-    """SearchInNeighbors / ORBmatcher::Fuse between one KF pair
-    (/root/reference/src/LocalMapping.cc:454, ORBmatcher.cc:893): project the
-    new KF's map points into a neighbor; where the matched keypoint already
-    holds a different point the two are MERGED (the one with more
-    observations survives, all observation slots are redirected —
-    MapPoint::Replace, MapPoint.cc:177); free matched keypoints gain an
-    observation.
+    """Match phase of SearchInNeighbors / ORBmatcher::Fuse for one directed
+    KF pair (/root/reference/src/LocalMapping.cc:454, ORBmatcher.cc:893):
+    project src's map points into dst and match against dst's keypoints.
+    Pure read — the merge/add application is batched across all pairs by
+    the caller (mapping_front), which lets the pair dimension vmap.
+
+    cnt: (P,) per-point observation counts (merge arbitration), computed
+    once by the caller. Returns per-src-slot arrays
+    (tgt_slot, add, merge, winner, loser), each (N,).
     """
-    K, N = m.kf_obs_pt.shape
-    P = m.capacity_pt
-    obs_a = m.kf_obs_pt[kf_new]
-    has_a = (obs_a >= 0) & m.kf_kp_valid[kf_new] & m.pt_valid[jnp.maximum(obs_a, 0)]
+    obs_a = m.kf_obs_pt[src]
+    has_a = (obs_a >= 0) & m.kf_kp_valid[src] & m.pt_valid[jnp.maximum(obs_a, 0)]
     pts = m.pt_xyz[jnp.maximum(obs_a, 0)]
 
-    R, t = m.kf_R[kf_nb], m.kf_t[kf_nb]
+    R, t = m.kf_R[dst], m.kf_t[dst]
     p_cam = se3_apply(R, t, pts)
     uv = project(cam, p_cam)
     in_img = (
@@ -945,50 +971,33 @@ def fuse_map_points(
         radius,
         jnp.maximum(pred_lvl - 1, 0),
         pred_lvl + 1,
-        m.kf_kp_xy[kf_nb],
-        m.kf_kp_desc[kf_nb],
-        m.kf_kp_level[kf_nb],
-        m.kf_kp_angle[kf_nb],
-        m.kf_kp_valid[kf_nb],
+        m.kf_kp_xy[dst],
+        m.kf_kp_desc[dst],
+        m.kf_kp_level[dst],
+        m.kf_kp_angle[dst],
+        m.kf_kp_valid[dst],
         max_dist=TH_LOW,
         nn_ratio=0.0,
     )
-    p_src = jnp.maximum(obs_a, 0)          # point carried by each new-KF slot
-    tgt_slot = idx                          # matched neighbor keypoint slot
-    q = m.kf_obs_pt[kf_nb][tgt_slot]        # existing point there (-1 free)
-    # Don't self-merge; `enabled` gates the whole op to a no-op (used by the
-    # fused mapping program to skip padded neighbor slots in one lax.scan).
+    p_src = jnp.maximum(obs_a, 0)          # point carried by each src slot
+    tgt_slot = idx                          # matched dst keypoint slot
+    q = m.kf_obs_pt[dst][tgt_slot]          # existing point there (-1 free)
     ok = ok & (q != p_src) & enabled
-
-    # Observation counts per point for merge arbitration.
-    has_all = (m.kf_obs_pt >= 0) & m.kf_kp_valid & m.kf_valid[:, None]
-    flat = jnp.where(has_all, m.kf_obs_pt, P).reshape(-1)
-    cnt = jnp.zeros((P + 1,)).at[flat].add(1.0)[:P]
 
     merge = ok & (q >= 0) & m.pt_valid[jnp.maximum(q, 0)]
     add = ok & ~merge
 
     qs = jnp.maximum(q, 0)
-    keep_src = cnt[p_src] >= cnt[qs]
+    # Strict arbitration order (count, then index) keeps the batched merge
+    # graph acyclic: every loser has a strictly smaller key than its winner,
+    # so pointer jumping terminates (MapPoint::Replace keeps the
+    # more-observed point, MapPoint.cc:177; the index tiebreak is ours).
+    keep_src = (cnt[p_src] > cnt[qs]) | (
+        (cnt[p_src] == cnt[qs]) & (p_src <= qs)
+    )
     winner = jnp.where(keep_src, p_src, qs)
     loser = jnp.where(keep_src, qs, p_src)
-
-    # Replacement map: identity except losers -> winners.
-    repl = jnp.arange(P, dtype=jnp.int32)
-    repl = repl.at[jnp.where(merge, loser, winner)].set(winner)
-    # Follow one extra hop for short chains.
-    repl = repl[repl]
-
-    obs = m.kf_obs_pt
-    obs = jnp.where(obs >= 0, repl[jnp.maximum(obs, 0)], obs)
-    pt_valid = m.pt_valid.at[jnp.where(merge, loser, 0)].set(
-        jnp.where(merge, False, m.pt_valid[0])
-    )
-    # Add observations for free matched keypoints.
-    row = obs[kf_nb]
-    row = row.at[tgt_slot].set(jnp.where(add, repl[p_src], row[tgt_slot]))
-    obs = obs.at[kf_nb].set(row)
-    return m._replace(kf_obs_pt=obs, pt_valid=pt_valid)
+    return tgt_slot, add, merge, winner, loser
 
 
 # --------------------------------------------------------------------------
@@ -1380,50 +1389,98 @@ def mapping_front(
     program) and loop closing. vs the former per-stage host loop this cuts
     the mapping job from ~60-100 device dispatches to one — on a tunneled
     chip that is the difference between ~30 s and ~1 RTT of wire time.
+
+    Round 5: the per-neighbor lax.scan bodies are BATCHED. Triangulation
+    candidates for all neighbors are produced by vmapped chunks and
+    inserted once (first good neighbor per keypoint — the reference's
+    first-come order over neighbors); fusion matches for all directed
+    pairs are computed against one snapshot and applied as one merge
+    (pointer-jumped replacement map). The sequential version re-scattered
+    the full observation table and a (P,) histogram per step — 100
+    neighbor-steps of TPU scatters was the 428 ms front of round 4.
     """
     K, N = m.kf_obs_pt.shape
+    P = m.capacity_pt
 
-    # -- 1. triangulation vs best covisible neighbors ----------------------
-    neighbors = best_covisible_ids(m, ki, nn_tri)
+    # One covisibility matrix serves neighbor selection for triangulation,
+    # fusion targets and their hops (KeyFrame::GetBestCovisibilityKeyFrames,
+    # /root/reference/src/KeyFrame.cc:226) — the scan of per-anchor
+    # shared_point_counts cost a (K, N) sort per step.
+    W = covisibility_weights(m)
+    W = jnp.where(m.kf_valid[None, :] & m.kf_valid[:, None], W, 0.0)
+    fids = jnp.where(m.kf_valid, m.kf_frame_id, -1)
 
-    def tri_body(mm, prev):
-        ok = prev >= 0
-        prev_ = jnp.maximum(prev, 0)
-        (xyz, desc, nvec, mind, maxd, slot_new, slot_old, good) = (
-            triangulate_new_points(
-                cam, mm, ki, prev_, inv_sigma2_table,
+    def top_covis(anchor, n, row=None):
+        row = W[anchor] if row is None else row
+        row = row.at[anchor].set(0.0)
+        tv, ti = jax.lax.top_k(row, n)
+        covis = jnp.where(tv > 0, ti.astype(jnp.int32), -1)
+        f = fids.at[anchor].set(-1)
+        rv, ri = jax.lax.top_k(f, n)
+        recent = jnp.where(rv >= 0, ri.astype(jnp.int32), -1)
+        return jnp.where(jnp.any(tv > 0), covis, recent)
+
+    # -- 1. batched triangulation vs best covisible neighbors --------------
+    neighbors = top_covis(ki, min(nn_tri, K))
+    CH = 4  # vmapped pairs per scan step; caps live (C, N, N) intermediates
+    n_nb = neighbors.shape[0]
+    n_ch = -(-n_nb // CH)
+    nb_pad = jnp.concatenate(
+        [neighbors, jnp.full((n_ch * CH - n_nb,), -1, jnp.int32)]
+    )
+
+    def tri_chunk(_, nb):
+        out = jax.vmap(
+            lambda ko: triangulate_new_points(
+                cam, m, ki, ko, inv_sigma2_table,
                 scale_factor=scale_factor, n_levels=n_levels,
             )
-        )
-        good = good & ok
-        from tpuslam.mapstate.core import insert_points
+        )(jnp.maximum(nb, 0))
+        xyz, _desc, nvec, mind, maxd, _sn, slot_old, good = out
+        return None, (xyz, nvec, mind, maxd, slot_old, good & (nb >= 0)[:, None])
 
-        mm, slots = insert_points(mm, xyz, desc, ki, good, nvec, mind, maxd)
-        created = good & (slots >= 0)
-        obs_new = mm.kf_obs_pt[ki].at[slot_new].set(
-            jnp.where(created, slots, mm.kf_obs_pt[ki][slot_new])
-        )
-        mm = mm._replace(kf_obs_pt=mm.kf_obs_pt.at[ki].set(obs_new))
-        obs_old = mm.kf_obs_pt[prev_].at[slot_old].set(
-            jnp.where(created, slots, mm.kf_obs_pt[prev_][slot_old])
-        )
-        mm = mm._replace(kf_obs_pt=mm.kf_obs_pt.at[prev_].set(obs_old))
-        return mm, None
+    _, cand = jax.lax.scan(tri_chunk, None, nb_pad.reshape(n_ch, CH))
+    xyz, nvec, mind, maxd, slot_old, good = jax.tree.map(
+        lambda a: a.reshape((n_ch * CH,) + a.shape[2:]), cand
+    )
+    # First good neighbor per new-KF keypoint — each keypoint gains at most
+    # one point, like the reference where an earlier neighbor's new
+    # MapPoint removes the keypoint from later SearchForTriangulation.
+    choice = jnp.argmax(good, axis=0)
+    sel = jnp.any(good, axis=0)
+    cols = jnp.arange(N)
+    from tpuslam.mapstate.core import insert_points
 
-    m, _ = jax.lax.scan(tri_body, m, neighbors)
+    m, slots = insert_points(
+        m, xyz[choice, cols], m.kf_kp_desc[ki], ki, sel,
+        nvec[choice, cols], mind[choice, cols], maxd[choice, cols],
+    )
+    created = sel & (slots >= 0)
+    prev_c = nb_pad[choice]
+    flat_obs = jnp.concatenate(
+        [m.kf_obs_pt.reshape(-1), jnp.zeros((1,), jnp.int32)]
+    )
+    idx_new = jnp.where(created, ki * N + cols, K * N)
+    idx_old = jnp.where(
+        created, jnp.maximum(prev_c, 0) * N + slot_old[choice, cols], K * N
+    )
+    flat_obs = flat_obs.at[idx_new].set(jnp.where(created, slots, 0))
+    flat_obs = flat_obs.at[idx_old].set(jnp.where(created, slots, 0))
+    m = m._replace(kf_obs_pt=flat_obs[: K * N].reshape(K, N))
 
     # -- 2. recent-point culling ------------------------------------------
     m = cull_map_points(m, ki, min_kf_obs)
 
-    # -- 3. two-hop bidirectional fusion ----------------------------------
-    targets = best_covisible_ids(m, ki, nn_fuse)
+    # -- 3. two-hop bidirectional fusion: batched match, one application --
+    targets = top_covis(ki, min(nn_fuse, K))
     if fuse_hop > 0:
-        def hop_body(_, tgt):
-            ok = tgt >= 0
-            ids = best_covisible_ids(m, jnp.maximum(tgt, 0), fuse_hop)
-            return None, jnp.where(ok, ids, -1)
-
-        _, hops = jax.lax.scan(hop_body, None, targets)
+        hops = jax.vmap(
+            lambda tgt: jnp.where(
+                tgt >= 0,
+                top_covis(jnp.maximum(tgt, 0), min(fuse_hop, K)),
+                -1,
+            )
+        )(targets)
         ext = jnp.concatenate([targets, hops.reshape(-1)])
     else:
         ext = targets
@@ -1432,19 +1489,72 @@ def mapping_front(
         ext = dedupe_fuse_targets(ext, K, nn_fuse)
     fwd = jnp.stack([jnp.full_like(ext, ki), ext], axis=1)
     bwd = jnp.stack([ext, jnp.full_like(ext, ki)], axis=1)
-    pairs = jnp.concatenate([fwd, bwd], axis=0)
+    pairs = jnp.concatenate([fwd, bwd], axis=0)          # (Q, 2)
+    Q = pairs.shape[0]
 
-    def fuse_body(mm, pair):
-        src, dst = pair[0], pair[1]
-        ok = (src >= 0) & (dst >= 0)
-        mm = fuse_map_points(
-            cam, mm, jnp.maximum(src, 0), jnp.maximum(dst, 0),
-            inv_sigma2_table, scale_factor=scale_factor, n_levels=n_levels,
-            enabled=ok,
-        )
-        return mm, None
+    # Observation counts once (merge arbitration, MapPoint::Replace).
+    has_all = (m.kf_obs_pt >= 0) & m.kf_kp_valid & m.kf_valid[:, None]
+    flat_pt = jnp.where(has_all, m.kf_obs_pt, P).reshape(-1)
+    cnt = jnp.zeros((P + 1,)).at[flat_pt].add(1.0)[:P]
 
-    m, _ = jax.lax.scan(fuse_body, m, pairs)
+    qch = -(-Q // CH)
+    pairs_pad = jnp.concatenate(
+        [pairs, jnp.full((qch * CH - Q, 2), -1, jnp.int32)]
+    )
+
+    def fuse_chunk(_, pr):
+        out = jax.vmap(
+            lambda p: _fuse_pair_match(
+                cam, m, cnt, jnp.maximum(p[0], 0), jnp.maximum(p[1], 0),
+                inv_sigma2_table, scale_factor=scale_factor,
+                n_levels=n_levels, enabled=(p[0] >= 0) & (p[1] >= 0),
+            )
+        )(pr)
+        return None, out
+
+    _, fz = jax.lax.scan(fuse_chunk, None, pairs_pad.reshape(qch, CH, 2))
+    tgt_slot, add, merge, winner, loser = jax.tree.map(
+        lambda a: a.reshape((qch * CH,) + a.shape[2:]), fz
+    )
+
+    # Merge application: one replacement map over all pairs. Conflicting
+    # winners for the same loser resolve by scatter order (last pair wins —
+    # the sequential semantics kept one arbitrary winner too); the strict
+    # (count, index) arbitration order makes chains acyclic, and pointer
+    # jumping collapses them (MapPoint::Replace redirection).
+    merge_f = merge.reshape(-1)
+    loser_f = jnp.where(merge_f, loser.reshape(-1), P)
+    winner_f = jnp.where(merge_f, winner.reshape(-1), P)
+    repl = jnp.concatenate(
+        [jnp.arange(P, dtype=jnp.int32), jnp.full((1,), P, jnp.int32)]
+    )
+    repl = repl.at[loser_f].set(winner_f)
+    repl = repl[repl]
+    repl = repl[repl]
+    repl = repl[repl]  # path-halving: resolves chains up to depth 8
+    repl = repl[:P]
+
+    obs = m.kf_obs_pt
+    obs = jnp.where(obs >= 0, repl[jnp.maximum(obs, 0)], obs)
+    pt_valid = m.pt_valid & (repl == jnp.arange(P, dtype=jnp.int32))
+
+    # Add observations for free matched keypoints: flat (dst, tgt_slot)
+    # scatter across all pairs (parked rows write the scratch slot).
+    dst_f = pairs_pad[:, 1]
+    add_f = add & (dst_f >= 0)[:, None]
+    flat_idx = jnp.where(
+        add_f, jnp.maximum(dst_f, 0)[:, None] * N + tgt_slot, K * N
+    ).reshape(-1)
+    p_src_pair = jnp.where(
+        m.kf_obs_pt[jnp.maximum(pairs_pad[:, 0], 0)] >= 0,
+        m.kf_obs_pt[jnp.maximum(pairs_pad[:, 0], 0)], 0
+    )
+    val = repl[p_src_pair].reshape(-1)
+    obs_flat = jnp.concatenate([obs.reshape(-1), jnp.zeros((1,), jnp.int32)])
+    obs_flat = obs_flat.at[flat_idx].set(val)
+    m = m._replace(
+        kf_obs_pt=obs_flat[: K * N].reshape(K, N), pt_valid=pt_valid
+    )
 
     # -- 4. descriptor refresh for the new KF's points --------------------
     from tpuslam.mapstate.core import compute_point_descriptors

@@ -77,11 +77,16 @@ class TrackerConfig:
     fuse_neighbors: int = 0
     fuse_second_hop: int = 5
     # Local BA cost caps: the solver runs on a compacted edge block
-    # (active-graph edges first; steps.local_bundle_adjustment) and a
-    # truncated-CG Schur solve. 16k edges covers the reference's local
-    # window (~8 KFs x 1000 kp with most slots empty) with headroom;
-    # raising it only pays when the covisibility window is dense.
-    local_ba_max_edges: int = 16384
+    # (active-graph edges first; steps.local_bundle_adjustment) with a
+    # DENSE reduced-camera solve over the `local_ba_active_max` most
+    # covisible adjustable keyframes (optim.ba.dense_schur_bundle_
+    # adjustment). 0 edges = auto: 32 x n_features, so stereo/RGB-D
+    # configs with 2000 keypoints are not silently truncated (advisor r4
+    # medium finding) while mono 1000-kp configs stay at 32k.
+    local_ba_max_edges: int = 0
+    local_ba_active_max: int = 32
+    # Truncated-CG budget for the DISTRIBUTED/global solvers (the dense
+    # local path does not use CG).
     local_ba_cg_iters: int = 40
     init_min_matches: int = 100    # MonocularInitialization (Tracking.cc:606,637)
     # Stereo/RGB-D: close-point depth threshold factor; th_depth =
@@ -456,11 +461,12 @@ class Tracker:
         (Optimizer.cc:705-720)."""
         cfg = self.cfg
         if self._ba_mesh is None:
+            max_edges = cfg.local_ba_max_edges or 32 * cfg.orb.n_features
             return steps.local_bundle_adjustment(
                 cfg.cam, m, jnp.int32(center_kf), self.inv_sigma2,
                 window=cfg.local_ba_window, n_levels=cfg.orb.n_levels,
-                iters=iters, max_edges=cfg.local_ba_max_edges,
-                cg_iters=cfg.local_ba_cg_iters,
+                iters=iters, max_edges=max_edges,
+                active_max=cfg.local_ba_active_max,
             )
         K, N = m.kf_obs_pt.shape
         kfi, pti, uvr, has, fixed_kf, fixed_pt = steps.build_local_ba_problem(
