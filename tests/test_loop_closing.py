@@ -268,6 +268,17 @@ class TestLoopClosing:
         )
         # The loop edge persists (KeyFrame::AddLoopEdge).
         assert len(lc._loop_edges) == 1
+        # The fusion exported its MapPoint::Replace forwarding for the
+        # tracker's live references (Tracking::CheckReplacedInLastFrame
+        # analog): merged-away slots redirect to their surviving winner.
+        repl = lc.last_point_remap
+        assert repl is not None
+        merged = np.nonzero(~np.asarray(m.pt_valid))[0]
+        redirected = repl[merged] != merged
+        assert redirected.any()
+        # Every redirect target is a live point.
+        tgt = repl[merged][redirected]
+        assert np.asarray(m.pt_valid)[tgt].all()
 
     def test_second_essential_graph_includes_first_loop_edge(self, rng):
         """A later essential-graph run must include every PRIOR loop edge

@@ -36,6 +36,7 @@ from tpuslam.matching.search import (
     TH_HIGH,
     TH_LOW,
     match_nn_ratio,
+    rotation_consistency_mask,
     search_by_projection_points,
 )
 from tpuslam.optim.pose_graph import Sim3Edges, make_relative, optimize_pose_graph
@@ -94,6 +95,10 @@ class LoopCloser:
         # Persistent loop edges by FRAME ID pairs (KeyFrame::AddLoopEdge,
         # consumed by every later essential graph, Optimizer.cc:926-950).
         self._loop_edges: list = []
+        # Point-slot forwarding from the latest closure's fusion (the
+        # MapPoint::Replace map); the tracker applies it to its live frame
+        # references (Tracking::CheckReplacedInLastFrame analog).
+        self.last_point_remap = None
 
     def _next_key(self):
         self._key, k = jax.random.split(self._key)
@@ -109,14 +114,22 @@ class LoopCloser:
             self._tried_default = True
             import os
 
-            path = os.path.join(
+            data_dir = os.path.join(
                 os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                 "data",
-                "default_vocab.npz",
             )
-            if os.path.exists(path):
-                self.voc = Vocabulary.load(path)
-                return True
+            # Preference order: explicit override, the reference-scale 1M-word
+            # tree (k=10, L=6 — System.cc:73-81 loads the same scale), then
+            # the 100k tree.
+            candidates = [
+                os.environ.get("TPUSLAM_VOCAB"),
+                os.path.join(data_dir, "default_vocab_1m.npz"),
+                os.path.join(data_dir, "default_vocab.npz"),
+            ]
+            for path in candidates:
+                if path and os.path.exists(path):
+                    self.voc = Vocabulary.load(path)
+                    return True
         # Else train once enough descriptors are in the map (>= 3 KFs).
         n_kf = int(m.n_kf)
         if n_kf < 3:
@@ -388,6 +401,15 @@ class LoopCloser:
         idx, dist, ok = match_nn_ratio(
             m.kf_kp_desc[kf_cur], m.kf_kp_desc[kf_loop], pair, max_dist=50, nn_ratio=0.75
         )
+        # Rotation-consistency histogram over the initial match set — the
+        # reference's SearchByBoW(KF, KF) orientation check
+        # (ORBmatcher.cc:669-708). Perceptually-aliased matches (repeating
+        # room texture) rarely share one dominant relative orientation, so
+        # this filters a large share of false loop-match sets before the
+        # Sim3 RANSAC sees them.
+        ok = rotation_consistency_mask(
+            m.kf_kp_angle[kf_loop][idx], m.kf_kp_angle[kf_cur], ok
+        )
         if int(jnp.sum(ok)) < self.min_sim3_inliers:
             return None
 
@@ -530,6 +552,14 @@ class LoopCloser:
         repl = repl[repl]
         repl = repl[repl]
         obs = np.where(obs >= 0, repl[np.maximum(obs, 0)], obs)
+        # Export the replacement for the TRACKER's live frame references:
+        # the reference's Tracking::CheckReplacedInLastFrame follows
+        # mpReplaced pointers (Tracking.cc:791); with slot indices the
+        # forwarding must be applied to _last_obs explicitly, or tracking
+        # keeps referencing merged-away (invalid) duplicates after a
+        # closure — covisibility then never bridges the loop and every
+        # revisit keyframe re-triggers "loop" detection.
+        self.last_point_remap = repl.astype(np.int32)
         m = m._replace(kf_obs_pt=jnp.asarray(obs.astype(np.int32)),
                        pt_valid=jnp.asarray(ptv))
         # Refresh representative descriptors of the surviving loop points
@@ -778,6 +808,7 @@ class LoopCloser:
     def on_keyframe(self, m: MapState, cam, kf_cur: int, ba_fn=None):
         """Run detection + closure for a newly inserted keyframe.
         Returns (map, closed: bool)."""
+        self.last_point_remap = None
         if not self._ensure_vocabulary(m):
             return m, False
         self._reconcile(m)
@@ -785,10 +816,33 @@ class LoopCloser:
         cand = self._detect(m, kf_cur, covis)
         if cand is None:
             return m, False
+        import os as _os
+
+        debug = _os.environ.get("TPUSLAM_LOOP_DEBUG")
+        if debug:
+            fid = np.asarray(m.kf_frame_id)
+            print(
+                f"[loop] candidate: cur slot {kf_cur} (frame {int(fid[kf_cur])})"
+                f" <- cand slot {cand} (frame {int(fid[cand])}), "
+                f"covis(cur,cand)={float(covis[kf_cur, cand]):.0f}",
+                flush=True,
+            )
         sim3 = self._compute_sim3(m, cam, kf_cur, cand, covis)
         if sim3 is None:
+            if debug:
+                print("[loop] sim3 rejected", flush=True)
             return m, False
         s21, R21, t21, match_pt, nb_mask = sim3
+        if debug:
+            ang = np.rad2deg(
+                np.arccos(np.clip((np.trace(np.asarray(R21)) - 1) / 2, -1, 1))
+            )
+            print(
+                f"[loop] CLOSING: s={float(s21):.4f} rot={ang:.2f}deg "
+                f"|t|={float(jnp.linalg.norm(t21)):.3f} "
+                f"matches={int(jnp.sum(match_pt >= 0))}",
+                flush=True,
+            )
         m = self._correct(
             m, cam, kf_cur, cand, s21, R21, t21, covis,
             ba_fn=ba_fn, match_pt=match_pt, nb_mask=nb_mask,

@@ -1317,6 +1317,22 @@ class Tracker:
                 )
                 if closed:
                     m = update_point_normals(m2, self.scale_factors)
+                    # The closure's point fusion merged duplicates away
+                    # (MapPoint::Replace); forward the replacement to the
+                    # tracker's live references (compose with any pending
+                    # compaction remap from this same epoch) so tracking
+                    # continues on the surviving loop points — that is what
+                    # bridges covisibility across the loop and stops the
+                    # detector re-firing on every revisit keyframe.
+                    rl = self.loop_closer.last_point_remap
+                    if rl is not None:
+                        r1 = self._pending_pt_remap
+                        if r1 is None:
+                            self._pending_pt_remap = rl
+                        else:
+                            self._pending_pt_remap = np.where(
+                                r1 >= 0, rl[np.maximum(r1, 0)], -1
+                            ).astype(np.int32)
         return m
 
     # --------------------------------------------------------- relocalization
