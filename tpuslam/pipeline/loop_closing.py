@@ -118,13 +118,21 @@ class LoopCloser:
                 os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                 "data",
             )
-            # Preference order: explicit override, the reference-scale 1M-word
-            # tree (k=10, L=6 — System.cc:73-81 loads the same scale), then
-            # the 100k tree.
+            # Preference order: explicit override, then the shipped default.
+            # A reference-scale 1M-word tree (k=10, L=6 — the scale
+            # System.cc:73-81 loads) is ALSO shipped
+            # (data/default_vocab_1m.npz, tools/build_default_vocab.py
+            # --levels 6 --scale 16), but measured recall on the held-out
+            # place set is better for the 100k tree (r@1 0.988 / margin
+            # 0.114 vs 0.985 / 0.063): 4.1M synthetic descriptors give the
+            # 1M tree only ~4 training descriptors per leaf, where the
+            # reference's artifact was trained on tens of millions of real
+            # ones. Select the 1M tree via TPUSLAM_VOCAB when a matching
+            # corpus is available (BASELINE.md records both evals).
             candidates = [
                 os.environ.get("TPUSLAM_VOCAB"),
-                os.path.join(data_dir, "default_vocab_1m.npz"),
                 os.path.join(data_dir, "default_vocab.npz"),
+                os.path.join(data_dir, "default_vocab_1m.npz"),
             ]
             for path in candidates:
                 if path and os.path.exists(path):
@@ -837,10 +845,22 @@ class LoopCloser:
             ang = np.rad2deg(
                 np.arccos(np.clip((np.trace(np.asarray(R21)) - 1) / 2, -1, 1))
             )
+            # Drift = measured Sim3 vs the CURRENT relative pose: small for
+            # a true loop under bounded drift, huge for aliased geometry.
+            Rrel, trel = se3_compose(
+                m.kf_R[kf_cur], m.kf_t[kf_cur],
+                *se3_inverse(m.kf_R[cand], m.kf_t[cand])
+            )
+            dR = np.asarray(R21) @ np.asarray(Rrel).T
+            d_ang = np.rad2deg(
+                np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1))
+            )
+            d_t = float(np.linalg.norm(np.asarray(t21) - np.asarray(trel)))
             print(
                 f"[loop] CLOSING: s={float(s21):.4f} rot={ang:.2f}deg "
                 f"|t|={float(jnp.linalg.norm(t21)):.3f} "
-                f"matches={int(jnp.sum(match_pt >= 0))}",
+                f"matches={int(jnp.sum(match_pt >= 0))} "
+                f"drift: rot={d_ang:.2f}deg |dt|={d_t:.3f}",
                 flush=True,
             )
         m = self._correct(
