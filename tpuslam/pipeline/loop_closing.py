@@ -80,6 +80,7 @@ class LoopCloser:
         self.min_total_matches = min_total_matches
         self._tried_default = False
         self._bow = {}
+        self._kp_nodes_cache = {}
         self._consistent_groups = []  # list[(set(kf_ids), count)]
         self._key = jax.random.PRNGKey(42)
         self.n_loops_closed = 0
@@ -177,6 +178,7 @@ class LoopCloser:
         for s in changed:
             s = int(s)
             self._bow.pop(s, None)
+            self._kp_nodes_cache.pop(s, None)
             if self.db is not None:
                 self.db.erase(s)
             self._slot_seq[s] = -1
@@ -188,6 +190,30 @@ class LoopCloser:
                 self.voc, m.kf_kp_desc[k], m.kf_kp_valid[k]
             )
         return self._bow[k]
+
+    def _kp_nodes(self, m: MapState, k: int) -> np.ndarray:
+        """Per-keypoint vocabulary NODE ids at an intermediate tree level —
+        the FeatureVector of DBoW2 (TemplatedVocabulary.h:1127-1194 with
+        levelsup=4): SearchByBoW only compares descriptors under the same
+        node (ORBmatcher.cc:590), which is what keeps perceptually-aliased
+        descriptor pairs out of the loop Sim3 stage. Complete k-ary layout
+        makes the node id a division of the leaf word id. -1 = invalid."""
+        if k not in self._kp_nodes_cache:
+            from tpuslam.place.vocabulary import transform_words
+
+            voc = self.voc
+            # DBoW2's levelsup=4 node level, floored so the constraint has
+            # at least ~100 nodes even for shallower trees.
+            lvl = voc.levels - 4
+            while lvl < voc.levels - 1 and voc.k ** lvl < 100:
+                lvl += 1
+            lvl = max(1, min(lvl, voc.levels - 1))
+            words = np.asarray(
+                transform_words(voc, m.kf_kp_desc[k], m.kf_kp_valid[k])
+            )
+            div = voc.k ** (voc.levels - lvl)
+            self._kp_nodes_cache[k] = np.where(words >= 0, words // div, -1)
+        return self._kp_nodes_cache[k]
 
     # -------------------------------------------------------------- detection
 
@@ -406,6 +432,14 @@ class LoopCloser:
         has_c = (obs_c >= 0) & m.kf_kp_valid[kf_cur] & m.pt_valid[jnp.maximum(obs_c, 0)]
         has_l = (obs_l >= 0) & m.kf_kp_valid[kf_loop] & m.pt_valid[jnp.maximum(obs_l, 0)]
         pair = has_c[:, None] & has_l[None, :]
+        # FeatureVector node constraint (SearchByBoW, ORBmatcher.cc:590):
+        # only descriptors quantized under the same intermediate vocabulary
+        # node may match. Unconstrained all-pairs matching let ~300
+        # perceptually-aliased pairs through on repetitive room texture and
+        # a planar false Sim3 survived every later geometric gate.
+        nc = jnp.asarray(self._kp_nodes(m, kf_cur))
+        nl = jnp.asarray(self._kp_nodes(m, kf_loop))
+        pair = pair & (nc[:, None] == nl[None, :]) & (nc >= 0)[:, None]
         idx, dist, ok = match_nn_ratio(
             m.kf_kp_desc[kf_cur], m.kf_kp_desc[kf_loop], pair, max_dist=50, nn_ratio=0.75
         )
