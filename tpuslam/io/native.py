@@ -88,6 +88,14 @@ def _load():
         ctypes.c_int64,
         ctypes.c_int64,
     ]
+    lib.tpuslam_fast_nms.restype = ctypes.c_int
+    lib.tpuslam_fast_nms.argtypes = [
+        np.ctypeslib.ndpointer(np.float32),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_float,
+        np.ctypeslib.ndpointer(np.float32),
+    ]
     _LIB = lib
     return lib
 
@@ -226,3 +234,15 @@ def evaluate_rpe(est: np.ndarray, gt: np.ndarray, delta: int = 1) -> float:
     if out < 0:
         raise ValueError("evaluate_rpe: need more poses than delta")
     return float(out)
+
+
+def fast_nms_native(img: np.ndarray, min_th: float) -> np.ndarray:
+    """Dense FAST-9/16 score + 3x3 NMS with the C++ kernel (native/src/
+    fast.cc) — exact semantics of ops.orb.fast_response + _nms3."""
+    lib = _load()
+    im = np.ascontiguousarray(img, np.float32)
+    out = np.empty_like(im)
+    rc = lib.tpuslam_fast_nms(im, im.shape[0], im.shape[1], float(min_th), out)
+    if rc != 0:
+        raise RuntimeError("tpuslam_fast_nms failed")
+    return out

@@ -24,6 +24,10 @@ _BIG = 1 << 20  # sentinel distance for masked pairs
 
 def _best_two(dist: jnp.ndarray):
     """Per-row best and second-best over (Nq, Nc): returns (d1, i1, d2)."""
+    # Materialize the distance matrix once: XLA:CPU otherwise re-runs the
+    # whole producer chain (hamming + window masks) for each of the three
+    # consumers below (argmin / gather / masked-min) — 3x the matcher cost.
+    dist = jax.lax.optimization_barrier(dist)
     i1 = jnp.argmin(dist, axis=1)
     d1 = jnp.take_along_axis(dist, i1[:, None], axis=1)[:, 0]
     masked = dist.at[jnp.arange(dist.shape[0]), i1].set(_BIG)

@@ -163,36 +163,59 @@ def fast_response(img: jnp.ndarray, min_th: float) -> jnp.ndarray:
     non-max suppression is applied by the caller.
     """
     H, W = img.shape
+    # Circle dimension MINOR: the arc rolls become contiguous 64-byte lane
+    # shuffles instead of (H, W)-plane copies — this stage is
+    # bandwidth-bound on the XLA fallback path (CPU uses the native C++
+    # kernel instead; see fast_nms).
     p = jnp.pad(img, 3, mode="edge")
-    # (16, H, W) circle intensities.
     circ = jnp.stack(
-        [p[3 + dy : 3 + dy + H, 3 + dx : 3 + dx + W] for dx, dy in _FAST_OFFSETS], axis=0
-    )
-    d = circ - img[None]  # positive = brighter than center
+        [p[3 + dy : 3 + dy + H, 3 + dx : 3 + dx + W] for dx, dy in _FAST_OFFSETS],
+        axis=-1,
+    )                                     # (H, W, 16)
+    d = circ - img[..., None]             # positive = brighter than center
 
     def arc9_min(x):
         """min over 9 consecutive circular entries, for each start index."""
-        m1 = jnp.minimum(x, jnp.roll(x, -1, axis=0))
-        m2 = jnp.minimum(m1, jnp.roll(m1, -2, axis=0))
-        m4 = jnp.minimum(m2, jnp.roll(m2, -4, axis=0))  # covers 8
-        return jnp.minimum(m4, jnp.roll(x, -8, axis=0))  # covers 9
+        m1 = jnp.minimum(x, jnp.roll(x, -1, axis=-1))
+        m2 = jnp.minimum(m1, jnp.roll(m1, -2, axis=-1))
+        m4 = jnp.minimum(m2, jnp.roll(m2, -4, axis=-1))  # covers 8
+        return jnp.minimum(m4, jnp.roll(x, -8, axis=-1))  # covers 9
 
-    score_bright = jnp.max(arc9_min(d), axis=0)
-    score_dark = jnp.max(arc9_min(-d), axis=0)
+    score_bright = jnp.max(arc9_min(d), axis=-1)
+    score_dark = jnp.max(arc9_min(-d), axis=-1)
     score = jnp.maximum(score_bright, score_dark)
     return jnp.where(score > min_th, score, 0.0)
 
 
 def fast_nms(img: jnp.ndarray, min_th: float) -> jnp.ndarray:
     """NMS'd FAST score map: fused Pallas kernel on TPU (ops/fast_pallas.py),
-    XLA elementwise path elsewhere. The two agree away from the 3 px image
-    border, which the 16 px detection border masks anyway."""
+    native C++ kernel on CPU (native/src/fast.cc via pure_callback — the
+    XLA elementwise formulation moves ~16 (H, W) planes per level and costs
+    ~250 ms/frame on a 2-core host, the C++ kernel with the 0/8-pixel early
+    reject a few ms), XLA elementwise path elsewhere. All agree away from
+    the 3 px image border, which the 16 px detection border masks anyway."""
     from tpuslam.ops.patches import _use_pallas
 
     if _use_pallas():
         from tpuslam.ops.fast_pallas import fast_nms_pallas
 
         return fast_nms_pallas(img, float(min_th))
+    from tpuslam.io.native import native_available
+
+    if native_available() and jax.default_backend() == "cpu":
+        from tpuslam.io.native import fast_nms_native
+
+        def _cb(im):
+            return fast_nms_native(np.asarray(im), float(min_th))
+
+        out_sd = jax.ShapeDtypeStruct(img.shape[-2:], jnp.float32)
+        if img.ndim == 2:
+            return jax.pure_callback(_cb, out_sd, img, vmap_method="sequential")
+        return jax.vmap(
+            lambda im: jax.pure_callback(
+                _cb, out_sd, im, vmap_method="sequential"
+            )
+        )(img)
     if img.ndim == 2:
         return _nms3(fast_response(img, min_th))
     return jax.vmap(lambda im: _nms3(fast_response(im, min_th)))(img)
@@ -254,7 +277,12 @@ def _select_level_keypoints(
     # Per-cell candidate depth: enough to fill the budget even when corners
     # cluster in few cells (4x headroom), at least 8, at most the cell area.
     r = min(max(8, -(-4 * n_keep // n_cells)), area, n_keep)
+    # Materialization barriers: XLA:CPU otherwise re-runs the whole
+    # cells/top_k producer chain once per consumer (~35 ms/level instead
+    # of ~1.5 ms); neutral elsewhere.
+    cells = jax.lax.optimization_barrier(cells)
     resp_c, idx_c = jax.lax.top_k(cells, r)  # (n_cells, r)
+    resp_c, idx_c = jax.lax.optimization_barrier((resp_c, idx_c))
     valid = resp_c > 0.0
     # Dual threshold: if the cell has an >= ini_th corner, drop its
     # sub-ini_th corners (rank 0 is the cell max).
@@ -344,28 +372,40 @@ def _orient_and_describe_at(atlas: jnp.ndarray, corner: jnp.ndarray):
     # (ORBextractor.cc:1300-1315) — and makes every pixel value exactly
     # representable in bfloat16 (integers 0..255), so the one-hot sampling
     # matmuls below are bit-exact in a single bf16 MXU pass.
-    pblur = jnp.round(_blur_patches(praw)).astype(jnp.bfloat16)
+    from tpuslam.ops.patches import _use_pallas
+
+    on_tpu = _use_pallas()
+    pblur = jnp.round(_blur_patches(praw))
+    pblur = pblur.astype(jnp.bfloat16 if on_tpu else jnp.float32)
     pat = jnp.asarray(BRIEF_PATTERN, dtype=jnp.float32)
     ca, sa = jnp.cos(angle), jnp.sin(angle)
     px = pat[None, :, :, 0]
     py = pat[None, :, :, 1]
     cols = jnp.round(px * ca[:, None, None] - py * sa[:, None, None]).astype(jnp.int32)
     rows = jnp.round(px * sa[:, None, None] + py * ca[:, None, None]).astype(jnp.int32)
-    # Sample the 512 rotated pattern points with a one-hot row matmul (MXU)
-    # followed by a one-hot column weighted reduce (VPU) — 7x faster on TPU
-    # than a within-patch take_along_axis gather, and exact (each output sums
-    # exactly one integer-valued product).
     r = (rows + _CENTER_BLUR).reshape(n, 2 * _N_PAIRS)
     c = (cols + _CENTER_BLUR).reshape(n, 2 * _N_PAIRS)
-    i_blur = jnp.arange(_BLUR_PATCH)
-    row_onehot = (r[..., None] == i_blur).astype(jnp.bfloat16)  # (N, 512, 41)
-    t = jax.lax.dot_general(
-        row_onehot, pblur, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ).astype(jnp.bfloat16)  # (N, 512, 41) = pblur rows at each sample's row
-    vals = jnp.sum(
-        t * (c[..., None] == i_blur).astype(jnp.bfloat16), axis=-1, dtype=jnp.float32
-    ).reshape(n, _N_PAIRS, 2)
+    if on_tpu:
+        # Sample the 512 rotated pattern points with a one-hot row matmul
+        # (MXU) followed by a one-hot column weighted reduce (VPU) — 7x
+        # faster on TPU than a within-patch take_along_axis gather, and
+        # exact (each output sums exactly one integer-valued product).
+        i_blur = jnp.arange(_BLUR_PATCH)
+        row_onehot = (r[..., None] == i_blur).astype(jnp.bfloat16)
+        t = jax.lax.dot_general(
+            row_onehot, pblur, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16)  # (N, 512, 41) = pblur rows per sample row
+        vals = jnp.sum(
+            t * (c[..., None] == i_blur).astype(jnp.bfloat16), axis=-1,
+            dtype=jnp.float32,
+        ).reshape(n, _N_PAIRS, 2)
+    else:
+        # Off-TPU the ~1.7 GMAC of one-hot matmuls run as emulated-bf16
+        # GEMMs and dominate the whole frame (~300 ms of the measured
+        # 430 ms CPU track latency); a direct batched gather is the
+        # CPU-native form of the same exact sampling.
+        vals = pblur[jnp.arange(n)[:, None], r, c].reshape(n, _N_PAIRS, 2)
     bits = (vals[:, :, 0] < vals[:, :, 1]).astype(jnp.uint32).reshape(n, 8, 32)
     desc = jnp.sum(
         bits << jnp.arange(32, dtype=jnp.uint32)[None, None, :], axis=-1, dtype=jnp.uint32

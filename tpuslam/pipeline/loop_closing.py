@@ -875,26 +875,47 @@ class LoopCloser:
                 print("[loop] sim3 rejected", flush=True)
             return m, False
         s21, R21, t21, match_pt, nb_mask = sim3
+        # Odometric-consistency gate (deviation from the reference,
+        # documented): the measured Sim3 implies a correction
+        # |t21 - t_rel| relative to the CURRENT odometry between the two
+        # keyframes; real drift is bounded by a fraction of the path
+        # length travelled between them, while a perceptually-aliased
+        # false loop (repetitive texture: same words, geometrically
+        # consistent planar match sets that survive every appearance and
+        # reprojection gate) demands a correction far beyond any plausible
+        # drift. stereo_room_big produced exactly such a candidate 73
+        # frames apart: implied correction 7.0 m over a 2.9 m path. The
+        # budget is generous (30% of path + 0.5 floor; mono adds scale
+        # slack) so genuine loop closures — whose purpose is to absorb
+        # REAL drift — pass untouched.
+        Rrel, trel = se3_compose(
+            m.kf_R[kf_cur], m.kf_t[kf_cur],
+            *se3_inverse(m.kf_R[cand], m.kf_t[cand])
+        )
+        d_t = float(np.linalg.norm(np.asarray(t21) - np.asarray(trel)))
+        dR = np.asarray(R21) @ np.asarray(Rrel).T
+        d_ang = np.rad2deg(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
+        path = self._path_length_between(m, cand, kf_cur)
+        frac = 0.3 if self.fix_scale else 0.6
+        budget = max(0.5, frac * path)
+        if d_t > budget:
+            if debug:
+                print(
+                    f"[loop] REJECTED by odometric gate: implied correction "
+                    f"{d_t:.2f} (rot {d_ang:.1f}deg) over a {path:.2f}-long "
+                    f"path; budget {budget:.2f}",
+                    flush=True,
+                )
+            return m, False
         if debug:
             ang = np.rad2deg(
                 np.arccos(np.clip((np.trace(np.asarray(R21)) - 1) / 2, -1, 1))
             )
-            # Drift = measured Sim3 vs the CURRENT relative pose: small for
-            # a true loop under bounded drift, huge for aliased geometry.
-            Rrel, trel = se3_compose(
-                m.kf_R[kf_cur], m.kf_t[kf_cur],
-                *se3_inverse(m.kf_R[cand], m.kf_t[cand])
-            )
-            dR = np.asarray(R21) @ np.asarray(Rrel).T
-            d_ang = np.rad2deg(
-                np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1))
-            )
-            d_t = float(np.linalg.norm(np.asarray(t21) - np.asarray(trel)))
             print(
                 f"[loop] CLOSING: s={float(s21):.4f} rot={ang:.2f}deg "
                 f"|t|={float(jnp.linalg.norm(t21)):.3f} "
                 f"matches={int(jnp.sum(match_pt >= 0))} "
-                f"drift: rot={d_ang:.2f}deg |dt|={d_t:.3f}",
+                f"drift: rot={d_ang:.2f}deg |dt|={d_t:.3f} path={path:.2f}",
                 flush=True,
             )
         m = self._correct(
@@ -902,3 +923,19 @@ class LoopCloser:
             ba_fn=ba_fn, match_pt=match_pt, nb_mask=nb_mask,
         )
         return m, True
+
+    @staticmethod
+    def _path_length_between(m: MapState, a: int, b: int) -> float:
+        """Odometry path length between keyframes a and b: camera-center
+        polyline over the valid keyframes in frame-id order between them."""
+        fid = np.asarray(m.kf_frame_id)
+        valid = np.asarray(m.kf_valid)
+        lo, hi = sorted((int(fid[a]), int(fid[b])))
+        sel = np.nonzero(valid & (fid >= lo) & (fid <= hi))[0]
+        if len(sel) < 2:
+            return 0.0
+        order = sel[np.argsort(fid[sel])]
+        R = np.asarray(m.kf_R[order])
+        t = np.asarray(m.kf_t[order])
+        C = -np.einsum("kij,ki->kj", R.transpose(0, 2, 1), t)
+        return float(np.sum(np.linalg.norm(np.diff(C, axis=0), axis=1)))
