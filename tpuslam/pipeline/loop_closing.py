@@ -896,14 +896,22 @@ class LoopCloser:
         dR = np.asarray(R21) @ np.asarray(Rrel).T
         d_ang = np.rad2deg(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
         path = self._path_length_between(m, cand, kf_cur)
-        frac = 0.3 if self.fix_scale else 0.6
-        budget = max(0.5, frac * path)
-        if d_t > budget:
+        # Budgets: good visual odometry drifts ~1% of path translationally
+        # and fractions of a degree per unit; 5x headroom stereo, 15x mono
+        # (free scale). The aliases this rejects demand corrections that
+        # are CONSTANT in path (room-symmetry offsets), so a fractional
+        # budget separates them from true drift at every path length; the
+        # rotation gate catches pure-rotation aliases (same spot, wrong
+        # wall) whose translation error is small.
+        frac = 0.05 if self.fix_scale else 0.15
+        budget = max(0.3, frac * path)
+        budget_rot = max(5.0, 0.5 * path)
+        if d_t > budget or d_ang > budget_rot:
             if debug:
                 print(
                     f"[loop] REJECTED by odometric gate: implied correction "
-                    f"{d_t:.2f} (rot {d_ang:.1f}deg) over a {path:.2f}-long "
-                    f"path; budget {budget:.2f}",
+                    f"{d_t:.2f} / rot {d_ang:.1f}deg over a {path:.2f}-long "
+                    f"path; budgets {budget:.2f} / {budget_rot:.1f}deg",
                     flush=True,
                 )
             return m, False
