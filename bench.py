@@ -159,6 +159,15 @@ def bench_e2e_tracker() -> dict:
         max_points=16384,
         enable_loop_closing=False,
         async_mapping=True,
+        # Deterministic keyframe spacing (same rationale as
+        # tools/headtohead.py run_ours): the reference's c1b inserts only
+        # when LocalMapping is idle (Tracking.cc:1047), which at its
+        # real-time mapping latency spaces keyframes ~4-6 frames apart;
+        # now that the fused mapping epoch is fast enough to be "idle"
+        # every frame, the unguarded gate would insert a keyframe per
+        # frame — 3x the reference's effective cadence — and the bench
+        # would measure keyframe-churn, not steady-state tracking.
+        kf_min_frames=4,
     ))
     # Warm-up: run enough frames to trigger every compile — including the
     # mapping path (keyframes land during warm-up) — then drain the
@@ -179,11 +188,21 @@ def bench_e2e_tracker() -> dict:
         n_timed += 1
     t1 = time.perf_counter()
     s = dict(tracker.stats)
+    fetch_total_s = float(sum(tracker.metrics.timer.samples.get(
+        "track.fetch", [])))
     stages = tracker.metrics.timer.summary()
     tracker.shutdown()
     n_ok = max(s.get("fused_frames", 0) + s.get("slow_frames", 0), 1)
+    # Net-of-tunnel throughput: this environment reaches its single TPU
+    # chip over a tunnel whose round trip (~33 ms) is paid once per frame
+    # by the packed scalar fetch; on a locally-attached chip that wire
+    # cost does not exist. Subtract the MEASURED per-frame fetch wall from
+    # the window to report what the same pipeline sustains without it.
+    wall = t1 - t0
+    net_wall = max(wall - fetch_total_s, 1e-9)
     out = {
-        "e2e_tracker_fps": round(n_timed / (t1 - t0), 2),
+        "e2e_tracker_fps": round(n_timed / wall, 2),
+        "e2e_tracker_fps_net_rtt": round(n_timed / net_wall, 2),
         "e2e_median_frame_ms": round(float(np.median(frame_ms)), 2),
         "e2e_dispatches_per_frame": round(s.get("dispatches", 0) / n_ok, 2),
         "e2e_syncs_per_frame": round(s.get("syncs", 0) / n_ok, 2),
